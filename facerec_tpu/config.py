@@ -1,0 +1,101 @@
+"""Pipeline configuration.
+
+One frozen dataclass per stage, defaults chosen to match the reference
+CLI defaults (cf. /root/reference/facerec/extract.py:374-387,
+merge_shards.py:279-290, cluster.py:229-238, classify_knn.py:285-287)
+so that a reference user can switch over without changing behaviour.
+
+TPU-specific knobs (block sizes, fixed capacities, dtypes) live here too:
+everything under ``jit`` is traced once, so all shapes are static and are
+derived from this config.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# The four FaceNet checkpoints the reference loads
+# (/root/reference/facerec/extract.py:24-25).  The first two embed to 512
+# dims, the last two to 128 dims; downstream stages use only EMB_NAME.
+FACENET_MODELS: Tuple[str, ...] = (
+    "20180402-114759",
+    "20180408-102900",
+    "20170511-185253",
+    "20170512-110547",
+)
+FACENET_DIMS = {
+    "20180402-114759": 512,
+    "20180408-102900": 512,
+    "20170511-185253": 128,
+    "20170512-110547": 128,
+}
+# Embedding used by cluster/classify stages (cluster.py:17, classify_knn.py:13)
+EMB_NAME = "20170512-110547"
+
+FACE_IMAGE_SIZE = 160          # face crops resolution (extract.py:27)
+SAVE_FACE_PADDING = 0.10       # padding for saved crops (extract.py:28)
+CROP_MARGIN = int(0.1 * 160)   # cropBox margin in px (extract.py:163)
+
+ACTOR_ID_PREFIX = "momaf:elonet_henkilo_"  # classify_knn.py:15
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractConfig:
+    """Config of the extract stage (decode→scene→detect→track→embed)."""
+
+    # Reference-visible knobs (extract.py:376-387)
+    n_shards: int = 1                 # single chip replaces 100-256 CPU shards
+    shard_i: int = 0
+    save_every: int = 5
+    iou_threshold: float = 0.5
+    min_trajectory: int = 3
+    max_trajectory_age: int = 5
+    min_face_size: int = 20
+    face_threshold: float = 0.95
+    save_images: bool = True
+    display_width: Optional[int] = None
+    display_height: Optional[int] = None
+
+    # TPU knobs: static shapes for the jitted frame-block program
+    block_frames: int = 64            # frames per device block
+    max_detections: int = 16          # per-frame detection capacity
+    max_tracks: int = 32              # live track table capacity
+    detector_size: Tuple[int, int] = (512, 512)  # detector input (H, W)
+    compute_dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class MergeConfig:
+    """Config of the shard/block merge stage (merge_shards.py:279-290)."""
+
+    iou_threshold: float = 0.5
+    overlap: int = 5                  # must match max_trajectory_age
+    min_face_size: int = 50
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusterConfig:
+    """Config of the trajectory clustering stage (cluster.py:229-238)."""
+
+    size: int = 18
+    min_size: int = 12
+    max_size: int = 24
+    emb_name: str = EMB_NAME
+
+
+@dataclasses.dataclass(frozen=True)
+class ClassifyConfig:
+    """Config of the KNN actor classification stage (classify_knn.py:285-293)."""
+
+    k: int = 10
+    min_samples: int = 20
+    save_p_higher: float = 0.05
+    emb_name: str = EMB_NAME
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    extract: ExtractConfig = dataclasses.field(default_factory=ExtractConfig)
+    merge: MergeConfig = dataclasses.field(default_factory=MergeConfig)
+    cluster: ClusterConfig = dataclasses.field(default_factory=ClusterConfig)
+    classify: ClassifyConfig = dataclasses.field(default_factory=ClassifyConfig)

@@ -1,0 +1,226 @@
+"""SORT as a fixed-capacity batched scan.
+
+The reference keeps a Python list of per-track filterpy Kalman objects
+and updates them one frame at a time (/root/reference/facerec/sort.py).
+Here the whole tracker is a fixed-capacity *track table* — (T,) state
+vectors plus a batched Kalman state — advanced by one fused device step
+per frame inside ``lax.scan``.  Association runs the on-device LAP
+solver, so an entire frame block (detections in, trajectory emissions
+out) is a single XLA computation with no host round-trips.
+
+Lifecycle parity with the reference:
+  - scene-change kill before the frame's predict (sort.py:333-336,
+    extract.py:312-316)
+  - ``min_hits`` starting rule via ``initial_hits`` (sort.py:127,139-140,
+    279-281)
+  - ``max_age`` expiry (sort.py:279)
+  - posterior-vs-prior history entries (sort.py:124,135,159)
+
+Differences by design: track/detection capacity is static (config), and
+degenerate Kalman states are clamped to empty boxes instead of NaN-purged
+(sort.py:246-252) — a clamped track can never match and expires the
+same way.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from facerec_tpu.ops import assignment, boxes, kalman
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    max_tracks: int = 32
+    max_detections: int = 16
+    max_age: int = 5
+    min_hits: int = 3
+    iou_threshold: float = 0.5
+
+
+class TrackerState(NamedTuple):
+    kf: kalman.KalmanState
+    active: jnp.ndarray        # (T,) bool — currently followed
+    uid: jnp.ndarray           # (T,) int32 — global track id
+    first_frame: jnp.ndarray   # (T,) int32
+    hist_len: jnp.ndarray      # (T,) int32 — history entries so far
+    tsu: jnp.ndarray           # (T,) int32 — time since last update
+    hits: jnp.ndarray          # (T,) int32
+    initial_hits: jnp.ndarray  # (T,) int32
+    next_uid: jnp.ndarray      # () int32
+
+
+class TrackEmit(NamedTuple):
+    """Per-frame outputs of one tracker step (leading axis = frames)."""
+
+    box: jnp.ndarray        # (T, 4) float32 state box (posterior if detected)
+    emit: jnp.ndarray       # (T,) bool — slot produced a history entry
+    detected: jnp.ndarray   # (T,) bool — entry is a posterior
+    uid: jnp.ndarray        # (T,) int32
+    first_frame: jnp.ndarray  # (T,) int32
+    det_slot: jnp.ndarray   # (D,) int32 — track slot per detection, -1 if none
+    overflow: jnp.ndarray   # () int32 — detections dropped for lack of slots
+
+
+def init_tracker(cfg: TrackerConfig) -> TrackerState:
+    t = cfg.max_tracks
+    zeros = jnp.zeros((t,), jnp.int32)
+    return TrackerState(
+        kf=kalman.init_state(t),
+        active=jnp.zeros((t,), jnp.bool_),
+        uid=jnp.full((t,), -1, jnp.int32),
+        first_frame=zeros,
+        hist_len=zeros,
+        tsu=zeros,
+        hits=zeros,
+        initial_hits=zeros,
+        next_uid=jnp.zeros((), jnp.int32),
+    )
+
+
+def step(
+    cfg: TrackerConfig,
+    state: TrackerState,
+    det_boxes: jnp.ndarray,
+    det_valid: jnp.ndarray,
+    scene_change: jnp.ndarray,
+    frame: jnp.ndarray,
+) -> Tuple[TrackerState, TrackEmit]:
+    """Advance the tracker by one frame.
+
+    Args:
+        cfg: static configuration.
+        state: track table carry.
+        det_boxes: (D, 4) float32 detections [x1,y1,x2,y2].
+        det_valid: (D,) bool.
+        scene_change: () bool — kill all live tracks before this frame.
+        frame: () int32 global frame index.
+    """
+    t, d = cfg.max_tracks, cfg.max_detections
+    arange_t = jnp.arange(t, dtype=jnp.int32)
+    arange_d = jnp.arange(d, dtype=jnp.int32)
+
+    # 1. Scene-change kill: stop following, slots become reusable now.
+    was_active = state.active & ~scene_change
+
+    # 2. Predict all, keep only followed slots' results.
+    kf_prior = kalman.predict(state.kf)
+    kf = kalman.KalmanState(
+        x=jnp.where(was_active[:, None], kf_prior.x, state.kf.x),
+        p=jnp.where(was_active[:, None, None], kf_prior.p, state.kf.p),
+    )
+    tsu = jnp.where(was_active, state.tsu + 1, state.tsu)
+    hist_len = jnp.where(was_active, state.hist_len + 1, state.hist_len)
+
+    # 3. Associate detections with prior boxes.
+    prior_boxes = boxes.z_to_box(kf.x[:, :4])
+    iou = boxes.iou_matrix(det_boxes, prior_boxes)
+    det_slot = assignment.associate(iou, det_valid, was_active,
+                                    cfg.iou_threshold)
+
+    # 4. Scatter matches to slots and update the Kalman posteriors.
+    scatter_idx = jnp.where(det_slot >= 0, det_slot, t)
+    slot_det = jnp.full((t,), -1, jnp.int32).at[scatter_idx].set(
+        arange_d, mode="drop")
+    matched = slot_det >= 0
+    z = boxes.box_to_z(det_boxes)[jnp.clip(slot_det, 0, d - 1)]
+    kf = kalman.update(kf, z, matched)
+    hits = jnp.where(matched, state.hits + 1, state.hits)
+    tsu = jnp.where(matched, 0, tsu)
+    initial_hits = jnp.where(matched & (hist_len == hits),
+                             state.initial_hits + 1, state.initial_hits)
+
+    # 5. Unfollow rules (sort.py:277-282), evaluated on followed slots.
+    expired = was_active & (tsu > cfg.max_age) & (hist_len >= cfg.min_hits)
+    not_started = was_active & (hist_len <= cfg.min_hits) & (
+        initial_hits < hist_len)
+    still_active = was_active & ~(expired | not_started)
+
+    # 6. Spawn new tracks for unmatched detections into slots that are
+    # not emitting this frame (never-active or scene-killed).
+    unmatched = det_valid & (det_slot < 0)
+    free = ~was_active
+    n_free = jnp.sum(free.astype(jnp.int32))
+    spawn_rank = jnp.cumsum(unmatched.astype(jnp.int32)) - 1
+    will_spawn = unmatched & (spawn_rank < n_free)
+    overflow = jnp.sum((unmatched & ~will_spawn).astype(jnp.int32))
+
+    # r-th free slot index, in slot order
+    free_order = jnp.argsort(jnp.where(free, arange_t, t))
+    slot_for_det = free_order[jnp.clip(spawn_rank, 0, t - 1)].astype(jnp.int32)
+    spawn_scatter = jnp.where(will_spawn, slot_for_det, t)
+    spawn_det = jnp.full((t,), -1, jnp.int32).at[spawn_scatter].set(
+        arange_d, mode="drop")
+    spawned = spawn_det >= 0
+
+    z_new = boxes.box_to_z(det_boxes)[jnp.clip(spawn_det, 0, d - 1)]
+    kf = kalman.reset_tracks(kf, spawned, z_new)
+    uid = jnp.where(
+        spawned,
+        state.next_uid + spawn_rank[jnp.clip(spawn_det, 0, d - 1)],
+        state.uid,
+    )
+    first_frame = jnp.where(spawned, frame, state.first_frame)
+    hist_len = jnp.where(spawned, 1, hist_len)
+    hits = jnp.where(spawned, 1, hits)
+    initial_hits = jnp.where(spawned, 1, initial_hits)
+    tsu = jnp.where(spawned, 0, tsu)
+    det_slot = jnp.where(will_spawn, slot_for_det, det_slot)
+
+    new_state = TrackerState(
+        kf=kf,
+        active=still_active | spawned,
+        uid=uid,
+        first_frame=first_frame,
+        hist_len=hist_len,
+        tsu=tsu,
+        hits=hits,
+        initial_hits=initial_hits,
+        next_uid=state.next_uid + jnp.sum(will_spawn.astype(jnp.int32)),
+    )
+    emit = TrackEmit(
+        box=boxes.z_to_box(kf.x[:, :4]),
+        emit=was_active | spawned,
+        detected=matched | spawned,
+        uid=uid,
+        first_frame=first_frame,
+        det_slot=det_slot,
+        overflow=overflow,
+    )
+    return new_state, emit
+
+
+def run_block(
+    cfg: TrackerConfig,
+    state: TrackerState,
+    det_boxes: jnp.ndarray,
+    det_valid: jnp.ndarray,
+    scene_changes: jnp.ndarray,
+    frame0: jnp.ndarray,
+) -> Tuple[TrackerState, TrackEmit]:
+    """Scan the tracker over a block of frames.
+
+    Args:
+        state: carry from the previous block.
+        det_boxes: (B, D, 4) float32.
+        det_valid: (B, D) bool.
+        scene_changes: (B,) bool.
+        frame0: () int32 — global index of the block's first frame.
+
+    Returns:
+        (new_state, emissions) with a leading (B,) axis on every
+        :class:`TrackEmit` field.
+    """
+    b = det_boxes.shape[0]
+
+    def body(carry, inp):
+        det_b, det_v, sc, off = inp
+        new_carry, emit = step(cfg, carry, det_b, det_v, sc, frame0 + off)
+        return new_carry, emit
+
+    offsets = jnp.arange(b, dtype=jnp.int32)
+    return jax.lax.scan(body, state, (det_boxes, det_valid, scene_changes,
+                                      offsets))

@@ -1,0 +1,242 @@
+"""Single-stage face detector with landmarks (TPU-first).
+
+The reference detects faces with the ``mtcnn`` package — a three-stage
+cascade with dynamic image pyramids and per-stage host round trips
+(/root/reference/facerec/detector.py:19-35).  Cascades are hostile to
+XLA (data-dependent shapes), so this is a RetinaFace-style single-shot
+design instead: one static-shape forward pass over an FPN with SSH
+context modules, anchor decoding, score/size filtering and greedy NMS
+all fused on device.  Output matches the reference's detect() contract:
+boxes [x1,y1,x2,y2] + 5 named landmarks + confidence filter
+(detector.py:3-13,27).
+
+Weights: train or import via :mod:`facerec_tpu.models.weights`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facerec_tpu.models.layers import ConvBN
+from facerec_tpu.ops.nms import nms
+
+STRIDES = (8, 16, 32)
+ANCHOR_SIZES = ((16, 32), (64, 128), (256, 512))
+VARIANCES = (0.1, 0.2)
+
+
+class ResBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        y = ConvBN(self.features, 3, self.stride, dtype=d, name="conv1")(x)
+        y = ConvBN(self.features, 3, 1, act=False, dtype=d, name="conv2")(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = ConvBN(self.features, 1, self.stride, act=False, dtype=d,
+                       name="proj")(x)
+        return nn.relu(x + y)
+
+
+class SSH(nn.Module):
+    """SSH context module: 3x3 ∥ 5x5 ∥ 7x7 receptive fields via stacked
+    3x3 convs, concatenated."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        half = self.features // 2
+        quarter = self.features // 4
+        c3 = ConvBN(half, 3, act=False, dtype=d, name="conv3")(x)
+        c5a = ConvBN(quarter, 3, dtype=d, name="conv5a")(x)
+        c5 = ConvBN(quarter, 3, act=False, dtype=d, name="conv5")(c5a)
+        c7a = ConvBN(quarter, 3, dtype=d, name="conv7a")(c5a)
+        c7 = ConvBN(quarter, 3, act=False, dtype=d, name="conv7")(c7a)
+        return nn.relu(jnp.concatenate([c3, c5, c7], axis=-1))
+
+
+class FaceDetector(nn.Module):
+    """Backbone + FPN + SSH + per-level anchor heads.
+
+    Returns raw per-level predictions; decoding lives in
+    :class:`DetectorHarness` so the model stays a pure function of
+    pixels.
+    """
+
+    fpn_features: int = 64
+    num_anchors: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> List[Dict[str, jnp.ndarray]]:
+        d = self.dtype
+        x = x.astype(d)
+        # Backbone to strides 8/16/32
+        x = ConvBN(16, 3, 2, dtype=d, name="stem1")(x)
+        x = ConvBN(32, 3, 2, dtype=d, name="stem2")(x)
+        x = ResBlock(64, 2, dtype=d, name="c3_1")(x)
+        c3 = ResBlock(64, 1, dtype=d, name="c3_2")(x)
+        x = ResBlock(128, 2, dtype=d, name="c4_1")(c3)
+        c4 = ResBlock(128, 1, dtype=d, name="c4_2")(x)
+        x = ResBlock(256, 2, dtype=d, name="c5_1")(c4)
+        c5 = ResBlock(256, 1, dtype=d, name="c5_2")(x)
+
+        # FPN top-down
+        f = self.fpn_features
+        p5 = ConvBN(f, 1, act=False, dtype=d, name="lat5")(c5)
+        p4 = ConvBN(f, 1, act=False, dtype=d, name="lat4")(c4)
+        p3 = ConvBN(f, 1, act=False, dtype=d, name="lat3")(c3)
+        p4 = p4 + jax.image.resize(p5, p4.shape, "nearest")
+        p3 = p3 + jax.image.resize(p4, p3.shape, "nearest")
+        p4 = ConvBN(f, 3, dtype=d, name="smooth4")(p4)
+        p3 = ConvBN(f, 3, dtype=d, name="smooth3")(p3)
+
+        outs = []
+        for i, p in enumerate((p3, p4, p5)):
+            feat = SSH(f, dtype=d, name=f"ssh{i}")(p)
+            a = self.num_anchors
+            score = nn.Conv(a, (1, 1), dtype=d, name=f"head_score{i}")(feat)
+            box = nn.Conv(4 * a, (1, 1), dtype=d, name=f"head_box{i}")(feat)
+            ldm = nn.Conv(10 * a, (1, 1), dtype=d, name=f"head_ldm{i}")(feat)
+            b, hh, ww, _ = score.shape
+            outs.append({
+                "score": score.reshape(b, hh * ww * a).astype(jnp.float32),
+                "box": box.reshape(b, hh * ww * a, 4).astype(jnp.float32),
+                "ldm": ldm.reshape(b, hh * ww * a, 10).astype(jnp.float32),
+            })
+        return outs
+
+
+@functools.lru_cache(maxsize=None)
+def anchor_centers(input_size: Tuple[int, int]) -> np.ndarray:
+    """All anchors as (A, 4) [cx, cy, w, h] in input pixels, level-major,
+    row-major within a level, anchor-minor — matching the head reshape."""
+    h, w = input_size
+    all_anchors = []
+    for stride, sizes in zip(STRIDES, ANCHOR_SIZES):
+        gh, gw = h // stride, w // stride
+        ys = (np.arange(gh) + 0.5) * stride
+        xs = (np.arange(gw) + 0.5) * stride
+        cy, cx = np.meshgrid(ys, xs, indexing="ij")
+        centers = np.stack([cx, cy], axis=-1).reshape(gh * gw, 1, 2)
+        whs = np.array([[s, s] for s in sizes], np.float32)  # (a, 2)
+        grid = np.concatenate(
+            [np.broadcast_to(centers, (gh * gw, len(sizes), 2)),
+             np.broadcast_to(whs[None], (gh * gw, len(sizes), 2))],
+            axis=-1,
+        ).reshape(-1, 4)
+        all_anchors.append(grid.astype(np.float32))
+    return np.concatenate(all_anchors, axis=0)
+
+
+def decode(raw: List[Dict[str, jnp.ndarray]], anchors: jnp.ndarray):
+    """Decode per-level raw head outputs against anchors.
+
+    Returns (scores (B,A), boxes (B,A,4) xyxy, landmarks (B,A,5,2)).
+    """
+    score = jnp.concatenate([o["score"] for o in raw], axis=1)
+    box = jnp.concatenate([o["box"] for o in raw], axis=1)
+    ldm = jnp.concatenate([o["ldm"] for o in raw], axis=1)
+
+    a_cx, a_cy, a_w, a_h = [anchors[:, i] for i in range(4)]
+    v0, v1 = VARIANCES
+    cx = a_cx + box[..., 0] * v0 * a_w
+    cy = a_cy + box[..., 1] * v0 * a_h
+    w = a_w * jnp.exp(jnp.clip(box[..., 2] * v1, -10, 6))
+    h = a_h * jnp.exp(jnp.clip(box[..., 3] * v1, -10, 6))
+    xyxy = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                     axis=-1)
+
+    ldm = ldm.reshape(*ldm.shape[:-1], 5, 2)
+    lx = a_cx[:, None] + ldm[..., 0] * v0 * a_w[:, None]
+    ly = a_cy[:, None] + ldm[..., 1] * v0 * a_h[:, None]
+    landmarks = jnp.stack([lx, ly], axis=-1)
+    return jax.nn.sigmoid(score), xyxy, landmarks
+
+
+class Detections(NamedTuple):
+    """Padded per-frame detections (leading batch axis)."""
+
+    boxes: jnp.ndarray      # (B, D, 4) float32, display coords
+    scores: jnp.ndarray     # (B, D)
+    landmarks: jnp.ndarray  # (B, D, 5, 2)
+    valid: jnp.ndarray      # (B, D) bool
+
+
+@dataclasses.dataclass
+class DetectorHarness:
+    """Pixels → padded detections: letterbox, forward, decode, filter, NMS.
+
+    The score threshold and minimum face size replicate the reference
+    filters (detector.py:20-27: ``face_threshold=0.95``,
+    ``min_face_size=20``); NMS replaces the cascade's internal merging.
+    """
+
+    model: FaceDetector
+    variables: Dict
+    input_size: Tuple[int, int] = (512, 512)
+    max_detections: int = 16
+    score_threshold: float = 0.95
+    min_face_size: float = 20.0
+    nms_iou: float = 0.4
+
+    @classmethod
+    def create(cls, rng_seed: int = 0, dtype: Any = jnp.float32,
+               **kwargs) -> "DetectorHarness":
+        model = FaceDetector(dtype=dtype)
+        size = kwargs.get("input_size", (512, 512))
+        variables = model.init(
+            jax.random.PRNGKey(rng_seed),
+            jnp.zeros((1, size[0], size[1], 3), jnp.float32))
+        return cls(model=model, variables=variables, **kwargs)
+
+    def __call__(self, frames: jnp.ndarray) -> Detections:
+        """(B, H, W, 3) uint8 frames at display resolution → detections
+        mapped back to display coordinates."""
+        b, h, w, _ = frames.shape
+        ih, iw = self.input_size
+        scale = min(ih / h, iw / w)
+        sh, sw = int(round(h * scale)), int(round(w * scale))
+
+        x = frames.astype(jnp.float32)
+        x = jax.image.resize(x, (b, sh, sw, 3), "bilinear")
+        x = jnp.pad(x, ((0, 0), (0, ih - sh), (0, iw - sw), (0, 0)))
+        x = (x - 127.5) / 128.0
+
+        raw = self.model.apply(self.variables, x)
+        anchors = jnp.asarray(anchor_centers(self.input_size))
+        scores, boxes, landmarks = decode(raw, anchors)
+
+        # back to display coordinates
+        boxes = boxes / scale
+        landmarks = landmarks / scale
+
+        wh = jnp.minimum(boxes[..., 2] - boxes[..., 0],
+                         boxes[..., 3] - boxes[..., 1])
+        keep = (scores > self.score_threshold) & (wh >= self.min_face_size)
+        masked = jnp.where(keep, scores, -1.0)
+
+        def per_frame(bx, sc, ldm):
+            idx, valid = nms(bx, sc, self.nms_iou, self.max_detections)
+            return bx[idx], sc[idx], ldm[idx], valid
+
+        sel_boxes, sel_scores, sel_ldm, sel_valid = jax.vmap(per_frame)(
+            boxes, masked, landmarks)
+        sel_valid = sel_valid & (sel_scores > self.score_threshold)
+
+        # clamp boxes to the display frame
+        lim = jnp.asarray([w, h, w, h], jnp.float32)
+        sel_boxes = jnp.clip(sel_boxes, 0.0, lim)
+        return Detections(sel_boxes, sel_scores, sel_ldm, sel_valid)

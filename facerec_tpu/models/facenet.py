@@ -1,0 +1,189 @@
+"""FaceNet (Inception-ResNet-v1) embedder in Flax.
+
+Architecture follows the checkpoints the reference loads through
+``keras_facenet`` (/root/reference/facerec/extract.py:21-25,166-167):
+the davidsandberg Inception-ResNet-v1 with bottleneck size 512
+('20180402-114759', '20180408-102900') or 128 ('20170511-185253',
+'20170512-110547').  Module names mirror the TF checkpoint scopes so
+:mod:`facerec_tpu.models.weights` can import pretrained weights
+mechanically.
+
+Embedding convention matches ``FaceNet.embeddings``: per-image
+prewhitening of the 160×160 crop, forward pass, then L2 normalization
+(cf. /root/reference/facerec/utils/utils.py:8-24 for the recipe).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from facerec_tpu.models.layers import ConvBN
+
+
+class Block35(nn.Module):
+    """Inception-ResNet-A residual block (input/output 256ch)."""
+
+    scale: float = 0.17
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        b0 = ConvBN(32, 1, dtype=d, name="Branch_0_Conv2d_1x1")(x)
+        b1 = ConvBN(32, 1, dtype=d, name="Branch_1_Conv2d_0a_1x1")(x)
+        b1 = ConvBN(32, 3, dtype=d, name="Branch_1_Conv2d_0b_3x3")(b1)
+        b2 = ConvBN(32, 1, dtype=d, name="Branch_2_Conv2d_0a_1x1")(x)
+        b2 = ConvBN(32, 3, dtype=d, name="Branch_2_Conv2d_0b_3x3")(b2)
+        b2 = ConvBN(32, 3, dtype=d, name="Branch_2_Conv2d_0c_3x3")(b2)
+        mixed = jnp.concatenate([b0, b1, b2], axis=-1)
+        up = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=d,
+                     name="Conv2d_1x1")(mixed)
+        return nn.relu(x + self.scale * up)
+
+
+class Block17(nn.Module):
+    """Inception-ResNet-B residual block (input/output 896ch)."""
+
+    scale: float = 0.10
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        b0 = ConvBN(128, 1, dtype=d, name="Branch_0_Conv2d_1x1")(x)
+        b1 = ConvBN(128, 1, dtype=d, name="Branch_1_Conv2d_0a_1x1")(x)
+        b1 = ConvBN(128, (1, 7), dtype=d, name="Branch_1_Conv2d_0b_1x7")(b1)
+        b1 = ConvBN(128, (7, 1), dtype=d, name="Branch_1_Conv2d_0c_7x1")(b1)
+        mixed = jnp.concatenate([b0, b1], axis=-1)
+        up = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=d,
+                     name="Conv2d_1x1")(mixed)
+        return nn.relu(x + self.scale * up)
+
+
+class Block8(nn.Module):
+    """Inception-ResNet-C residual block (input/output 1792ch)."""
+
+    scale: float = 0.20
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        b0 = ConvBN(192, 1, dtype=d, name="Branch_0_Conv2d_1x1")(x)
+        b1 = ConvBN(192, 1, dtype=d, name="Branch_1_Conv2d_0a_1x1")(x)
+        b1 = ConvBN(192, (1, 3), dtype=d, name="Branch_1_Conv2d_0b_1x3")(b1)
+        b1 = ConvBN(192, (3, 1), dtype=d, name="Branch_1_Conv2d_0c_3x1")(b1)
+        mixed = jnp.concatenate([b0, b1], axis=-1)
+        up = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=d,
+                     name="Conv2d_1x1")(mixed)
+        out = x + self.scale * up
+        return nn.relu(out) if self.act else out
+
+
+class FaceNet(nn.Module):
+    """Inception-ResNet-v1 producing unnormalized bottleneck features."""
+
+    embedding_dim: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.dtype
+        x = x.astype(d)
+        # Stem (VALID paddings per the TF graph)
+        x = ConvBN(32, 3, 2, "VALID", dtype=d, name="Conv2d_1a_3x3")(x)
+        x = ConvBN(32, 3, 1, "VALID", dtype=d, name="Conv2d_2a_3x3")(x)
+        x = ConvBN(64, 3, 1, "SAME", dtype=d, name="Conv2d_2b_3x3")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = ConvBN(80, 1, 1, "VALID", dtype=d, name="Conv2d_3b_1x1")(x)
+        x = ConvBN(192, 3, 1, "VALID", dtype=d, name="Conv2d_4a_3x3")(x)
+        x = ConvBN(256, 3, 2, "VALID", dtype=d, name="Conv2d_4b_3x3")(x)
+
+        for i in range(5):
+            x = Block35(dtype=d, name=f"Repeat_block35_{i + 1}")(x)
+
+        # Reduction-A → 896ch
+        b0 = ConvBN(384, 3, 2, "VALID", dtype=d,
+                    name="Mixed_6a_Branch_0_Conv2d_1a_3x3")(x)
+        b1 = ConvBN(192, 1, 1, "SAME", dtype=d,
+                    name="Mixed_6a_Branch_1_Conv2d_0a_1x1")(x)
+        b1 = ConvBN(192, 3, 1, "SAME", dtype=d,
+                    name="Mixed_6a_Branch_1_Conv2d_0b_3x3")(b1)
+        b1 = ConvBN(256, 3, 2, "VALID", dtype=d,
+                    name="Mixed_6a_Branch_1_Conv2d_1a_3x3")(b1)
+        b2 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = jnp.concatenate([b0, b1, b2], axis=-1)
+
+        for i in range(10):
+            x = Block17(dtype=d, name=f"Repeat_1_block17_{i + 1}")(x)
+
+        # Reduction-B → 1792ch
+        b0 = ConvBN(256, 1, 1, "SAME", dtype=d,
+                    name="Mixed_7a_Branch_0_Conv2d_0a_1x1")(x)
+        b0 = ConvBN(384, 3, 2, "VALID", dtype=d,
+                    name="Mixed_7a_Branch_0_Conv2d_1a_3x3")(b0)
+        b1 = ConvBN(256, 1, 1, "SAME", dtype=d,
+                    name="Mixed_7a_Branch_1_Conv2d_0a_1x1")(x)
+        b1 = ConvBN(256, 3, 2, "VALID", dtype=d,
+                    name="Mixed_7a_Branch_1_Conv2d_1a_3x3")(b1)
+        b2 = ConvBN(256, 1, 1, "SAME", dtype=d,
+                    name="Mixed_7a_Branch_2_Conv2d_0a_1x1")(x)
+        b2 = ConvBN(256, 3, 1, "SAME", dtype=d,
+                    name="Mixed_7a_Branch_2_Conv2d_0b_3x3")(b2)
+        b2 = ConvBN(256, 3, 2, "VALID", dtype=d,
+                    name="Mixed_7a_Branch_2_Conv2d_1a_3x3")(b2)
+        b3 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+        for i in range(5):
+            x = Block8(dtype=d, name=f"Repeat_2_block8_{i + 1}")(x)
+        x = Block8(scale=1.0, act=False, dtype=d, name="Block8")(x)
+
+        # Global average pool + bottleneck (dense, no bias, then BN)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dense(self.embedding_dim, use_bias=False, dtype=d,
+                     name="Bottleneck")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+                         use_scale=False, dtype=d,
+                         name="Bottleneck_BatchNorm")(x)
+        return x.astype(jnp.float32)
+
+
+def prewhiten(crops: jnp.ndarray) -> jnp.ndarray:
+    """Per-image standardization over all pixels/channels
+    (utils/utils.py:12-15)."""
+    x = crops.astype(jnp.float32)
+    axes = tuple(range(1, x.ndim))
+    mean = x.mean(axis=axes, keepdims=True)
+    std = x.std(axis=axes, keepdims=True)
+    return (x - mean) / jnp.maximum(std, 1e-6)
+
+
+class FaceNetEmbedder:
+    """Callable wrapper: crops → L2-normalized embeddings.
+
+    One instance per checkpoint name; the extract stage stacks several
+    and runs them over the same crop batch (extract.py:166-167 runs 4).
+    """
+
+    def __init__(self, name: str, embedding_dim: int,
+                 dtype: Any = jnp.float32, params: Dict | None = None,
+                 rng_seed: int = 0):
+        self.name = name
+        self.model = FaceNet(embedding_dim=embedding_dim, dtype=dtype)
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, 160, 160, 3), jnp.float32))
+        self.variables = params
+
+    def __call__(self, crops: jnp.ndarray) -> jnp.ndarray:
+        """(N, 160, 160, 3) uint8/float crops → (N, dim) unit vectors."""
+        x = prewhiten(crops)
+        emb = self.model.apply(self.variables, x)
+        norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return emb / jnp.maximum(norm, 1e-12)

@@ -1,0 +1,72 @@
+"""Model smoke + invariance tests (shapes, normalization, batching)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from facerec_tpu.models import FaceNetEmbedder, DetectorHarness
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    return FaceNetEmbedder("test", embedding_dim=128)
+
+
+@pytest.fixture(scope="module")
+def detector():
+    return DetectorHarness.create(
+        input_size=(128, 128), max_detections=8, score_threshold=0.5)
+
+
+def test_facenet_shapes_and_norm(embedder, rng):
+    crops = rng.integers(0, 255, (3, 160, 160, 3)).astype(np.uint8)
+    emb = np.asarray(embedder(jnp.asarray(crops)))
+    assert emb.shape == (3, 128)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
+
+
+def test_facenet_batch_independent(embedder, rng):
+    crops = rng.integers(0, 255, (4, 160, 160, 3)).astype(np.uint8)
+    full = np.asarray(embedder(jnp.asarray(crops)))
+    single = np.asarray(embedder(jnp.asarray(crops[1:2])))
+    np.testing.assert_allclose(full[1], single[0], atol=1e-4)
+
+
+def test_facenet_param_count(embedder):
+    n = sum(np.prod(p.shape) for p in
+            jax.tree.leaves(embedder.variables["params"]))
+    # Inception-ResNet-v1 ~ 22-24M params at dim 128
+    assert 18e6 < n < 30e6, n
+
+
+def test_detector_shapes(detector, rng):
+    frames = rng.integers(0, 255, (2, 96, 128, 3)).astype(np.uint8)
+    det = detector(jnp.asarray(frames))
+    assert det.boxes.shape == (2, 8, 4)
+    assert det.scores.shape == (2, 8)
+    assert det.landmarks.shape == (2, 8, 5, 2)
+    assert det.valid.shape == (2, 8)
+    b = np.asarray(det.boxes)
+    assert (b >= 0).all()
+    assert (b[..., [0, 2]] <= 128).all() and (b[..., [1, 3]] <= 96).all()
+
+
+def test_detector_valid_implies_threshold_and_order(detector, rng):
+    frames = rng.integers(0, 255, (1, 96, 128, 3)).astype(np.uint8)
+    det = detector(jnp.asarray(frames))
+    scores = np.asarray(det.scores[0])
+    valid = np.asarray(det.valid[0])
+    if valid.any():
+        assert (scores[valid] > 0.5).all()
+        # NMS emits in descending score order
+        sv = scores[valid]
+        assert (np.diff(sv) <= 1e-6).all()
+
+
+def test_detector_jit_stability(detector, rng):
+    frames = jnp.asarray(rng.integers(0, 255, (1, 96, 128, 3)), jnp.uint8)
+    jitted = jax.jit(lambda f: detector(f))
+    a = jitted(frames)
+    b = detector(frames)
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               atol=1e-5)

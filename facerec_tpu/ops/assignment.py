@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_INF = jnp.float32(3.0e38)
+_INF = 3.0e38  # plain float: avoids backend init at import time
 
 
 def solve_lap_min(cost: jnp.ndarray) -> jnp.ndarray:

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from facerec_tpu.ops.boxes import iou_matrix
 
-_NEG = jnp.float32(-1e30)
+_NEG = -1e30  # plain float: avoids backend init at import time
 
 
 def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,

@@ -1,0 +1,330 @@
+"""Extract stage: decode → scene → detect → track → embed → contract files.
+
+The reference's hot path is a per-frame Python loop with per-face TF
+calls (/root/reference/facerec/extract.py:281-342, SURVEY.md §3.1).
+Here the film streams through the device in fixed-size frame blocks:
+
+  host   decode block (B, H, W, 3)                [OpenCV / native C++]
+  device scene statistics for the whole block     (ops.scene)
+  device detector forward + decode + NMS          (models.detector)
+  device tracker scan over the block              (track.tracker)
+  device crop + resize + 4× FaceNet embed         (ops.crops, models.facenet)
+  host   trajectory/feature/scene-change writers  (contract)
+
+Cross-block carry = scene state + tracker table; face saving is
+deferred ``min_trajectory - 1`` frames until the track's validity is
+decided, mirroring the reference's frame buffer (extract.py:304-342).
+Output files are byte-compatible shard files, so the merge stage (ours
+or the reference's) consumes them unchanged.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from facerec_tpu.config import FACENET_DIMS, FACENET_MODELS, FACE_IMAGE_SIZE, ExtractConfig
+from facerec_tpu.contract import MovieDirs, records
+from facerec_tpu.contract.naming import movie_id_from_filename, shard_file_name
+from facerec_tpu.ops.boxes import round_clip_box
+from facerec_tpu.pipeline import faces as faces_mod
+from facerec_tpu.track import TrackerConfig, TrajectoryAssembler, init_tracker, run_block
+from facerec_tpu.video.reader import VideoReader, load_aspect_ratio_csv, probe_video
+
+
+@dataclasses.dataclass
+class ExtractCounters:
+    saved_boxes: int = 0
+    saved_frames: int = 0
+    saved_trajectories: int = 0
+    frames_processed: int = 0
+    overflow: int = 0
+
+
+class EmbedderBank:
+    """All FaceNet checkpoints over one crop batch.
+
+    The reference embeds one crop at a time per model
+    (extract.py:166-167); here the whole block's crops go through each
+    model as one batched forward.
+    """
+
+    def __init__(self, embedders: Dict[str, "object"]):
+        self.embedders = embedders
+
+    @classmethod
+    def create_default(cls, dtype=None) -> "EmbedderBank":
+        import jax.numpy as jnp
+
+        from facerec_tpu.models import FaceNetEmbedder
+
+        d = dtype or jnp.float32
+        return cls({
+            name: FaceNetEmbedder(name, FACENET_DIMS[name], dtype=d,
+                                  rng_seed=i)
+            for i, name in enumerate(FACENET_MODELS)
+        })
+
+    def __call__(self, crops) -> Dict[str, np.ndarray]:
+        return {name: np.asarray(emb(crops))
+                for name, emb in self.embedders.items()}
+
+
+def run_extract(
+    file: str,
+    cfg: ExtractConfig,
+    out_path: str,
+    detector: Optional[Callable] = None,
+    embedders: Optional[EmbedderBank] = None,
+    aspect_csv: str = "aspect_ratios.csv",
+) -> ExtractCounters:
+    """Process one shard of a film (the whole film when n_shards=1)."""
+    import jax.numpy as jnp
+
+    from facerec_tpu.ops import scene as scene_ops
+    from facerec_tpu.ops.crops import crop_resize
+
+    assert 0 <= cfg.shard_i < cfg.n_shards, "Bad shard index."
+
+    display = load_aspect_ratio_csv(aspect_csv, os.path.basename(file))
+    if cfg.display_width is not None and cfg.display_height is not None:
+        display = (cfg.display_width, cfg.display_height)
+    info = probe_video(file, display)
+    d_w, d_h = info.display_width, info.display_height
+
+    movie_id = movie_id_from_filename(file)
+    dirs = MovieDirs.create(out_path, movie_id)
+
+    shard_len = (info.n_frames + cfg.n_shards - 1) // cfg.n_shards
+    beg = shard_len * cfg.shard_i
+    end = min(beg + shard_len, info.n_frames)
+    end_overlap = min(end + cfg.max_trajectory_age, info.n_frames)
+
+    print(f"Movie file: {os.path.basename(file)}")
+    print(f"Total length: {(info.n_frames / info.fps / 3600):.1f}h "
+          f"({info.fps} fps)")
+    print(f"Storage resolution for film: "
+          f"{info.storage_width}x{info.storage_height}")
+    print(f"Used display resolution for film: {d_w}x{d_h}")
+    print(f"Shard {cfg.shard_i + 1} / {cfg.n_shards}, len: {shard_len} "
+          f"frames")
+    print(f"Processing frames: {beg} - {end} (max: {info.n_frames}) "
+          f"saving every 1/{cfg.save_every} frames")
+
+    if detector is None:
+        from facerec_tpu.models import DetectorHarness
+
+        detector = DetectorHarness.create(
+            input_size=cfg.detector_size,
+            max_detections=cfg.max_detections,
+            score_threshold=cfg.face_threshold,
+            min_face_size=cfg.min_face_size)
+    if embedders is None:
+        embedders = EmbedderBank.create_default()
+
+    tracker_cfg = TrackerConfig(
+        max_tracks=cfg.max_tracks, max_detections=cfg.max_detections,
+        max_age=cfg.max_trajectory_age, min_hits=cfg.min_trajectory,
+        iou_threshold=cfg.iou_threshold)
+    tracker_state = init_tracker(tracker_cfg)
+    scene_state = scene_ops.initial_state(d_h, d_w, crop=True)
+    assembler = TrajectoryAssembler(d_w, d_h, min_hits=cfg.min_trajectory,
+                                    expiry_age=2 * cfg.min_trajectory)
+
+    counters = ExtractCounters()
+    scene_changes: List[int] = []
+    pending: List[faces_mod.PendingFace] = []
+    pixel_window: Dict[int, np.ndarray] = {}  # block_start → host pixels
+
+    features_path = os.path.join(
+        dirs.features, shard_file_name("features", movie_id, beg, end))
+    traj_path = os.path.join(
+        dirs.trajectories,
+        shard_file_name("trajectories", movie_id, beg, end))
+    sc_path = os.path.join(
+        dirs.scene_changes,
+        shard_file_name("scene_changes", movie_id, beg, end))
+
+    reader = VideoReader(file, info)
+    features_file = open(features_path, "w")
+    traj_file = open(traj_path, "w")
+
+    def flush_faces(watermark: Optional[int]) -> None:
+        """Emit features/images for pending faces with frame ≤ watermark
+        (None = all), in frame order."""
+        nonlocal pending
+        due = [p for p in pending
+               if watermark is None or p.frame <= watermark]
+        later = [p for p in pending
+                 if not (watermark is None or p.frame <= watermark)]
+        # keep not-yet-decided tracks pending (can only happen at block
+        # boundaries when watermark outruns a freshly spawned track)
+        undecided = [p for p in due
+                     if assembler.track_valid(p.uid) is None]
+        pending = later + (undecided if watermark is not None else [])
+        ready = [p for p in due
+                 if p.frame % cfg.save_every == 0
+                 and assembler.track_valid(p.uid)]
+        if not ready:
+            return
+
+        # Device: batched crop + embed for every ready face.
+        block_starts = sorted(pixel_window)
+        stack = np.concatenate([pixel_window[b] for b in block_starts])
+        offsets = {}
+        off = 0
+        for b in block_starts:
+            offsets[b] = off
+            off += len(pixel_window[b])
+
+        def stack_index(frame: int) -> int:
+            for b in reversed(block_starts):
+                if frame >= b:
+                    return offsets[b] + (frame - b)
+            raise KeyError(f"frame {frame} left the pixel window")
+
+        tight_boxes = [round_clip_box(p.posterior_box, d_w, d_h)
+                       for p in ready]
+        crop_boxes = np.stack([
+            faces_mod.embed_crop_box(tb, d_w, d_h) for tb in tight_boxes])
+        frame_idx = np.array([stack_index(p.frame) for p in ready],
+                             np.int32)
+        crops = crop_resize(jnp.asarray(stack), jnp.asarray(frame_idx),
+                            jnp.asarray(crop_boxes), FACE_IMAGE_SIZE)
+        all_embeddings = embedders(crops)
+
+        frames_seen = set()
+        for i, p in enumerate(ready):
+            emb = {name: vecs[i].tolist()
+                   for name, vecs in all_embeddings.items()}
+            rec = faces_mod.feature_record_for(
+                movie_id, p.frame, tight_boxes[i], emb, p.landmarks,
+                d_w, d_h)
+            records.write_feature(features_file, rec)
+            if cfg.save_images:
+                faces_mod.save_face_image(
+                    stack[stack_index(p.frame)], p.posterior_box, d_w,
+                    d_h, dirs.images, rec["tag"])
+            counters.saved_boxes += 1
+            frames_seen.add(p.frame)
+        counters.saved_frames += len(frames_seen)
+
+    last_block_start = None
+    for frame0, frames in reader.blocks(beg, end_overlap,
+                                        cfg.block_frames):
+        dev_frames = jnp.asarray(frames)
+        flags, scene_state = scene_ops.detect_block(dev_frames, scene_state)
+
+        if hasattr(detector, "set_block_start"):
+            detector.set_block_start(frame0)
+        det = detector(dev_frames)
+
+        tracker_state, emit = run_block(
+            tracker_cfg, tracker_state, det.boxes, det.valid, flags,
+            jnp.int32(frame0))
+
+        flags_np = np.asarray(flags)
+        scene_changes.extend(
+            (frame0 + np.nonzero(flags_np)[0]).tolist())
+
+        for rec in assembler.feed(emit, frame0):
+            records.write_trajectory(traj_file, rec)
+            counters.saved_trajectories += 1
+
+        # queue this block's faces for deferred validity
+        det_slot = np.asarray(emit.det_slot)
+        slot_uid = np.asarray(emit.uid)
+        slot_box = np.asarray(emit.box)
+        det_valid = np.asarray(det.valid)
+        landmarks = np.asarray(det.landmarks)
+        for i in range(len(frames)):
+            for d in range(det_slot.shape[1]):
+                if not det_valid[i, d]:
+                    continue
+                s = det_slot[i, d]
+                if s < 0:
+                    continue  # capacity overflow
+                pending.append(faces_mod.PendingFace(
+                    frame=frame0 + i, uid=int(slot_uid[i, s]),
+                    posterior_box=slot_box[i, s].copy(),
+                    landmarks=landmarks[i, d]))
+
+        # keep a two-block pixel window for deferred crops
+        pixel_window[frame0] = frames
+        flush_faces(frame0 + len(frames) - 1 - (cfg.min_trajectory - 1))
+        if last_block_start is not None:
+            for b in list(pixel_window):
+                if b < last_block_start:
+                    del pixel_window[b]
+        last_block_start = frame0
+        counters.frames_processed += len(frames)
+
+    for rec in assembler.finish():
+        records.write_trajectory(traj_file, rec)
+        counters.saved_trajectories += 1
+    flush_faces(None)
+    counters.overflow = assembler.overflow
+
+    # Divergence from the reference (extract.py:362 clips to [beg, end)):
+    # we keep cuts found in the overlap window too, so the merge union
+    # recovers cuts that land in the next shard's 2-frame statistics
+    # warm-up — keeps sharded == unsharded scene output.
+    records.write_shard_scene_changes(
+        sc_path, [f for f in scene_changes if beg <= f < end_overlap])
+
+    features_file.close()
+    traj_file.close()
+    reader.close()
+
+    print(f"Saved {counters.saved_boxes} boxes from "
+          f"{counters.saved_frames} different frames")
+    print(f"and {counters.saved_trajectories} trajectories.")
+    if counters.overflow:
+        print(f"WARNING: {counters.overflow} detections dropped at "
+              f"track-capacity limit.")
+    return counters
+
+
+def main(argv=None):
+    from facerec_tpu.runtime import ensure_platform
+
+    ensure_platform()
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--n-shards", type=int, default=1,
+                        help="number of shards (1 = whole film on chip)")
+    parser.add_argument("--shard-i", type=int, default=0)
+    parser.add_argument("--save-every", type=int, default=5)
+    parser.add_argument("--iou-threshold", type=float, default=0.5)
+    parser.add_argument("--min-trajectory", type=int, default=3)
+    parser.add_argument("--max-trajectory-age", type=int, default=5)
+    parser.add_argument("--min-face-size", type=int, default=20)
+    parser.add_argument("--face-threshold", type=float, default=0.95)
+    parser.add_argument("--out-path", type=str, default="./data")
+    parser.add_argument("--no-images", action="store_true")
+    parser.add_argument("--block-frames", type=int, default=64)
+    parser.add_argument("file")
+    args = parser.parse_args(argv)
+
+    start = time.time()
+    cfg = ExtractConfig(
+        n_shards=args.n_shards, shard_i=args.shard_i,
+        save_every=args.save_every, iou_threshold=args.iou_threshold,
+        min_trajectory=args.min_trajectory,
+        max_trajectory_age=args.max_trajectory_age,
+        min_face_size=args.min_face_size,
+        face_threshold=args.face_threshold,
+        save_images=not args.no_images,
+        block_frames=args.block_frames)
+    run_extract(args.file, cfg, args.out_path.rstrip("/"))
+    minutes, seconds = divmod(time.time() - start, 60)
+    print(f"Completed in {int(minutes)} minutes, {int(seconds)} seconds.")
+
+
+if __name__ == "__main__":
+    main()

@@ -162,18 +162,26 @@ def run_merge(data_dir: str, movie_id: int, cfg: MergeConfig) -> dict:
 
             # Cross-shard stitch (merge_shards.py:232-259): an old
             # trajectory overlapping the new one's start, best IoU at
-            # the exact overlapped frame, then splice.
+            # the exact overlapped frame, then splice.  Divergence from
+            # the reference: equal starts also merge (the reference's
+            # strict `t2.start < t1.start` duplicates tracks that START
+            # inside the overlap halo; dedup keeps shard-vs-unsharded
+            # equivalence, see tests/test_extract_e2e.py).
             for t1 in mergables:
                 best_iou, best_t = cfg.iou_threshold, None
-                if t1["start"] not in scene_cuts:
-                    for t2 in pending:
-                        if (t2["start"] >= t1["start"]
-                                or t2["start"] + t2["len"] <= t1["start"]):
-                            continue
-                        k = t1["start"] - t2["start"]
-                        value = iou_single(t2["bbs"][k], t1["bbs"][0])
-                        if value > best_iou:
-                            best_iou, best_t = value, t2
+                at_cut = t1["start"] in scene_cuts
+                for t2 in pending:
+                    if (t2["start"] > t1["start"]
+                            or t2["start"] + t2["len"] <= t1["start"]):
+                        continue
+                    # never bridge an earlier track across a scene cut
+                    # (merge_shards.py:237); equal-start dedup is safe
+                    if at_cut and t2["start"] < t1["start"]:
+                        continue
+                    k = t1["start"] - t2["start"]
+                    value = iou_single(t2["bbs"][k], t1["bbs"][0])
+                    if value > best_iou:
+                        best_iou, best_t = value, t2
                 if best_t is not None:
                     n_merges += 1
                     cut = t1["start"] - best_t["start"]

@@ -1,0 +1,128 @@
+"""Video probing and block decoding (host side).
+
+Implements the framing logic of /root/reference/facerec/extract.py:
+204-300 — frame count/fps probing, display-aspect-ratio correction from
+the container SAR (or an ``aspect_ratios.csv`` override,
+extract.py:398-413), shard ranges, seek, BGR→RGB conversion — but
+decodes into contiguous (B, H, W, 3) uint8 *blocks* sized for the
+device program instead of single frames.
+
+Decode backend is OpenCV; a native C++ decoder with double buffering
+lives in ``native/`` and is used when built (see
+:mod:`facerec_tpu.runtime.native`).
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoInfo:
+    n_frames: int
+    fps: float
+    storage_width: int
+    storage_height: int
+    display_width: int
+    display_height: int
+
+
+def probe_video(path: str,
+                display_size: Optional[Tuple[int, int]] = None) -> VideoInfo:
+    """Probe container properties and derive the display resolution.
+
+    DAR = SAR × PAR from the container (extract.py:213-225); an explicit
+    ``display_size`` (from aspect_ratios.csv) wins.
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if n_frames <= 0:
+            raise ValueError(f"Invalid video file <{path}>")
+        fps = cap.get(cv2.CAP_PROP_FPS)
+        sw = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        sh = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        if display_size is not None:
+            dw, dh = display_size
+        else:
+            sar = sw / sh
+            par = ((cap.get(cv2.CAP_PROP_SAR_NUM) or 1.0)
+                   / (cap.get(cv2.CAP_PROP_SAR_DEN) or 1.0))
+            dar = sar * par
+            dh = sh
+            dw = round(sh * dar)
+        return VideoInfo(n_frames, fps, sw, sh, dw, dh)
+    finally:
+        cap.release()
+
+
+def load_aspect_ratio_csv(csv_path: str,
+                          file_basename: str) -> Optional[Tuple[int, int]]:
+    """Look up a precomputed display size (extract.py:398-413)."""
+    if not os.path.exists(csv_path):
+        return None
+    with open(csv_path, "r") as f:
+        reader = csv.reader(f, delimiter=",", quotechar='"')
+        headers = next(reader)
+        name_i = headers.index("filename")
+        w_i = headers.index("display_width")
+        h_i = headers.index("display_height")
+        for row in reader:
+            if row[name_i] == file_basename:
+                return int(row[w_i]), int(row[h_i])
+    return None
+
+
+class VideoReader:
+    """Decode a frame range into fixed-size RGB blocks."""
+
+    def __init__(self, path: str, info: VideoInfo):
+        import cv2
+
+        self.cv2 = cv2
+        self.info = info
+        self.cap = cv2.VideoCapture(path)
+
+    def seek(self, frame: int) -> None:
+        ok = self.cap.set(self.cv2.CAP_PROP_POS_FRAMES, frame)
+        if not ok:
+            raise RuntimeError(f"Couldn't seek to frame {frame}")
+
+    def read_block(self, n: int) -> np.ndarray:
+        """Read up to ``n`` frames; returns (m, H, W, 3) uint8 RGB at
+        display resolution, m ≤ n (short at end of stream)."""
+        info = self.info
+        frames = []
+        for _ in range(n):
+            ok, frame = self.cap.read()
+            if not ok:
+                break
+            if (info.display_width != info.storage_width
+                    or info.display_height != info.storage_height):
+                frame = self.cv2.resize(
+                    frame, (info.display_width, info.display_height))
+            frames.append(frame[..., ::-1])  # BGR → RGB
+        if not frames:
+            return np.zeros((0, info.display_height, info.display_width, 3),
+                            np.uint8)
+        return np.ascontiguousarray(np.stack(frames))
+
+    def blocks(self, beg: int, end: int, block: int) -> Iterator[Tuple[int, np.ndarray]]:
+        """Yield (first_frame, frames) blocks covering [beg, end)."""
+        self.seek(beg)
+        f = beg
+        while f < end:
+            chunk = self.read_block(min(block, end - f))
+            if len(chunk) == 0:
+                break
+            yield f, chunk
+            f += len(chunk)
+
+    def close(self) -> None:
+        self.cap.release()

@@ -1,0 +1,133 @@
+"""Synthetic test clips with ground-truth face boxes.
+
+Generates short mp4s of bright "face" rectangles moving over static
+scene backgrounds with hard cuts, plus the ground-truth detection
+stream — the oracle for end-to-end extract tests (the reference has no
+test assets at all; SURVEY.md §4).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SynthClip:
+    path: str
+    width: int
+    height: int
+    n_frames: int
+    fps: float
+    # frame → list of (box, landmarks) ground truths
+    truth: Dict[int, List[Tuple[np.ndarray, np.ndarray]]]
+    scene_cuts: List[int]
+
+
+def _landmarks_for(box: np.ndarray) -> np.ndarray:
+    """Plausible 5-point layout inside a box (eyes, nose, mouth)."""
+    x1, y1, x2, y2 = box
+    w, h = x2 - x1, y2 - y1
+    return np.array([
+        [x1 + 0.3 * w, y1 + 0.35 * h],
+        [x1 + 0.7 * w, y1 + 0.35 * h],
+        [x1 + 0.5 * w, y1 + 0.55 * h],
+        [x1 + 0.35 * w, y1 + 0.75 * h],
+        [x1 + 0.65 * w, y1 + 0.75 * h],
+    ], np.float32)
+
+
+def make_clip(path: str, n_frames: int = 60, width: int = 192,
+              height: int = 144, fps: float = 25.0, seed: int = 0,
+              cuts: Tuple[int, ...] = (), n_faces: int = 2) -> SynthClip:
+    """Write an mp4 and return ground truth.
+
+    Faces are bright rectangles drifting linearly; scenes are static
+    noisy backgrounds replaced at each cut (cut also respawns faces).
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height))
+    if not writer.isOpened():
+        raise RuntimeError("cv2.VideoWriter failed to open")
+
+    truth: Dict[int, List[Tuple[np.ndarray, np.ndarray]]] = {}
+
+    def new_scene():
+        bg = rng.integers(20, 90, (height, width, 3)).astype(np.uint8)
+        faces = []
+        for _ in range(n_faces):
+            w = rng.uniform(28, 44)
+            h = w * rng.uniform(1.1, 1.3)
+            x = rng.uniform(2, width - w - 2)
+            y = rng.uniform(2, height - h - 2)
+            vx, vy = rng.uniform(-1.5, 1.5, 2)
+            shade = int(rng.integers(170, 240))
+            faces.append([x, y, w, h, vx, vy, shade])
+        return bg, faces
+
+    bg, faces = new_scene()
+    for f in range(n_frames):
+        if f in cuts:
+            bg, faces = new_scene()
+        frame = bg.copy()
+        truth[f] = []
+        for face in faces:
+            x, y, w, h, vx, vy, shade = face
+            x = float(np.clip(x + vx, 0, width - w))
+            y = float(np.clip(y + vy, 0, height - h))
+            face[0], face[1] = x, y
+            box = np.array([x, y, x + w, y + h], np.float32)
+            xi, yi, x2i, y2i = [int(round(c)) for c in box]
+            frame[yi:y2i, xi:x2i] = shade
+            truth[f].append((box, _landmarks_for(box)))
+        writer.write(frame[..., ::-1])  # RGB → BGR
+    writer.release()
+
+    return SynthClip(path=path, width=width, height=height,
+                     n_frames=n_frames, fps=fps, truth=truth,
+                     scene_cuts=list(cuts))
+
+
+class ScriptedDetector:
+    """Detector stand-in that replays ground-truth boxes.
+
+    Matches the :class:`~facerec_tpu.models.detector.DetectorHarness`
+    call contract so end-to-end extract tests exercise the full device
+    pipeline (scene, tracking, crops, embedding, contract files)
+    without depending on trained detector weights.
+    """
+
+    def __init__(self, clip: SynthClip, max_detections: int = 8,
+                 score: float = 0.99):
+        self.clip = clip
+        self.max_detections = max_detections
+        self.score = score
+        self._frame0 = 0
+
+    def set_block_start(self, frame0: int) -> None:
+        self._frame0 = frame0
+
+    def __call__(self, frames):
+        import jax.numpy as jnp
+
+        b = frames.shape[0]
+        d = self.max_detections
+        boxes = np.zeros((b, d, 4), np.float32)
+        ldm = np.zeros((b, d, 5, 2), np.float32)
+        valid = np.zeros((b, d), bool)
+        scores = np.zeros((b, d), np.float32)
+        for i in range(b):
+            for j, (box, marks) in enumerate(
+                    self.clip.truth.get(self._frame0 + i, [])[:d]):
+                boxes[i, j] = box
+                ldm[i, j] = marks
+                valid[i, j] = True
+                scores[i, j] = self.score
+        from facerec_tpu.models.detector import Detections
+
+        return Detections(jnp.asarray(boxes), jnp.asarray(scores),
+                          jnp.asarray(ldm), jnp.asarray(valid))

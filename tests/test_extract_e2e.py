@@ -1,0 +1,183 @@
+"""End-to-end extract on a synthetic clip + full pipeline + sharding oracle."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from facerec_tpu.config import (ClassifyConfig, ClusterConfig, ExtractConfig,
+                                MergeConfig)
+from facerec_tpu.contract import records
+from facerec_tpu.pipeline.extract import EmbedderBank, run_extract
+from facerec_tpu.pipeline.merge import run_merge
+from facerec_tpu.video.synth import ScriptedDetector, make_clip
+
+
+class StubEmbedderBank(EmbedderBank):
+    """Fast deterministic embedder: pooled pixels → fixed projection."""
+
+    def __init__(self, names=("m1", "m2"), dim=16, seed=0):
+        rng = np.random.default_rng(seed)
+        self.proj = {n: rng.normal(size=(75, dim)).astype(np.float32)
+                     for n in names}
+
+    def __call__(self, crops):
+        x = np.asarray(crops, np.float32)
+        n = x.shape[0]
+        pooled = x.reshape(n, 5, 32, 5, 32, 3).mean(axis=(2, 4))
+        flat = pooled.reshape(n, -1) / 255.0
+        out = {}
+        for name, p in self.proj.items():
+            e = flat @ p
+            e /= np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-9)
+            out[name] = e
+        return out
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("clips") / "125261-TestFilm-1955.mp4")
+    return make_clip(path, n_frames=60, cuts=(30,), seed=3)
+
+
+def extract_all(clip, out, n_shards=1, block_frames=16, save_images=True):
+    counters = []
+    for i in range(n_shards):
+        cfg = ExtractConfig(
+            n_shards=n_shards, shard_i=i, block_frames=block_frames,
+            max_detections=8, max_tracks=16, save_images=save_images)
+        c = run_extract(
+            clip.path, cfg, out,
+            detector=ScriptedDetector(clip, max_detections=8),
+            embedders=StubEmbedderBank())
+        counters.append(c)
+    return counters
+
+
+def test_extract_single_shard(clip, tmp_path):
+    out = str(tmp_path / "out")
+    (c,) = extract_all(clip, out)
+    d = f"{out}/125261-data"
+
+    assert c.frames_processed == 60
+    assert c.overflow == 0
+    assert c.saved_trajectories >= 2  # ≥2 faces, respawned at the cut
+    assert c.saved_boxes > 0
+
+    trajs = records.read_trajectories(
+        f"{d}/trajectories/trajectories_125261_0-60.jsonl")
+    assert len(trajs) == c.saved_trajectories
+    # trajectories cover the whole clip without crossing the cut
+    for t in trajs:
+        assert t["object_type"] == "face"
+        assert t["w"] == clip.width and t["h"] == clip.height
+        assert not (t["start"] < 30 <= t["start"] + t["len"] - 1) or \
+            30 not in json.load(open(
+                f"{d}/scene_changes/scene_changes_125261_0-60.json")
+            )["frame_indices"]
+
+    feats = list(records.read_jsonl(
+        f"{d}/features/features_125261_0-60.jsonl"))
+    assert feats
+    for f in feats:
+        assert f["frame"] % 5 == 0
+        assert set(f["embeddings"]) == {"m1", "m2"}
+        assert len(f["embeddings"]["m1"]) == 16
+        assert set(f["keypoints"]) == {"left_eye", "right_eye", "nose",
+                                       "mouth_left", "mouth_right"}
+        # tag matches box
+        assert f["tag"] == "125261:{}:{}_{}_{}_{}".format(
+            f["frame"], *f["box"])
+    # features are in frame order
+    frames = [f["frame"] for f in feats]
+    assert frames == sorted(frames)
+
+    # images exist and parse
+    images = os.listdir(f"{d}/images")
+    assert len(images) == len(feats)
+
+    # scene change at the cut was found
+    sc = json.load(open(
+        f"{d}/scene_changes/scene_changes_125261_0-60.json"))
+    assert 30 in sc["frame_indices"]
+
+
+def test_extract_boxes_track_truth(clip, tmp_path):
+    out = str(tmp_path / "out")
+    extract_all(clip, out)
+    d = f"{out}/125261-data"
+    trajs = records.read_trajectories(
+        f"{d}/trajectories/trajectories_125261_0-60.jsonl")
+    # every trajectory box should be close to a ground-truth box
+    for t in trajs:
+        for i, box in enumerate(t["bbs"]):
+            frame = t["start"] + i
+            gt = [g[0] for g in clip.truth[frame]]
+            dists = [np.abs(np.array(box) - g).max() for g in gt]
+            assert min(dists) < 8, (frame, box, gt)
+
+
+def test_shard_vs_unsharded(clip, tmp_path):
+    """The reference's own design oracle: n_shards=k + merge ==
+    n_shards=1 + merge (SURVEY.md §4)."""
+    out1 = str(tmp_path / "one")
+    out2 = str(tmp_path / "two")
+    extract_all(clip, out1, n_shards=1)
+    extract_all(clip, out2, n_shards=2)
+
+    cfg = MergeConfig(min_face_size=10)
+    run_merge(f"{out1}/125261-data", 125261, cfg)
+    run_merge(f"{out2}/125261-data", 125261, cfg)
+
+    t1 = records.read_trajectories(f"{out1}/125261-data/trajectories.jsonl")
+    t2 = records.read_trajectories(f"{out2}/125261-data/trajectories.jsonl")
+    assert len(t1) == len(t2)
+    for a, b in zip(t1, t2):
+        assert a["start"] == b["start"]
+        assert a["len"] == b["len"]
+        np.testing.assert_allclose(a["bbs"], b["bbs"], atol=2)
+
+    s1 = json.load(open(f"{out1}/125261-data/scene_changes.json"))
+    s2 = json.load(open(f"{out2}/125261-data/scene_changes.json"))
+    assert s1 == s2
+
+
+def test_full_pipeline(clip, tmp_path):
+    """extract → merge → cluster → classify produces all 5 contract files."""
+    import zipfile
+
+    from facerec_tpu.pipeline.classify import (build_training_set,
+                                               read_actor_embeddings,
+                                               run_classify)
+    from facerec_tpu.pipeline.cluster import run_cluster
+
+    out = str(tmp_path / "out")
+    extract_all(clip, out)
+    d = f"{out}/125261-data"
+    run_merge(d, 125261, MergeConfig(min_face_size=10))
+    run_cluster(d, ClusterConfig(size=2, min_size=1, max_size=4,
+                                 emb_name="m1"))
+
+    # actor zip: 3 synthetic actors near the observed face embeddings
+    feats = list(records.read_jsonl(f"{d}/features.jsonl"))
+    rng = np.random.default_rng(0)
+    zpath = tmp_path / "actor-images.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for a in range(3):
+            base = np.array(feats[min(a, len(feats) - 1)]
+                            ["embeddings"]["m1"])
+            for i in range(3):
+                vec = (base + rng.normal(size=16) * 0.01).tolist()
+                z.writestr(f"a{a}_{i}.json", json.dumps({
+                    "box": [0, 0, 1, 1], "embeddings": {"m1": vec},
+                    "actorID": str(500 + a), "actorname": f"A{a}"}))
+
+    emb, _ = read_actor_embeddings(str(zpath), "m1")
+    x, y = build_training_set(emb, min_samples=3)
+    run_classify(d, x, y, ClassifyConfig(k=3, emb_name="m1"))
+
+    for name in ("trajectories.jsonl", "features.jsonl",
+                 "scene_changes.json", "clusters.json", "predictions.json"):
+        assert os.path.exists(os.path.join(d, name)), name
+    preds = json.load(open(os.path.join(d, "predictions.json")))
+    assert preds["movie_id"] == 125261

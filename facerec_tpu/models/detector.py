@@ -204,7 +204,14 @@ class DetectorHarness:
 
     def __call__(self, frames: jnp.ndarray) -> Detections:
         """(B, H, W, 3) uint8 frames at display resolution → detections
-        mapped back to display coordinates."""
+        mapped back to display coordinates.
+
+        Dispatched as one jitted program per input shape (cached)."""
+        if not hasattr(self, "_jitted"):
+            object.__setattr__(self, "_jitted", jax.jit(self._forward))
+        return self._jitted(self.variables, frames)
+
+    def _forward(self, variables, frames: jnp.ndarray) -> Detections:
         b, h, w, _ = frames.shape
         ih, iw = self.input_size
         scale = min(ih / h, iw / w)
@@ -215,7 +222,7 @@ class DetectorHarness:
         x = jnp.pad(x, ((0, 0), (0, ih - sh), (0, iw - sw), (0, 0)))
         x = (x - 127.5) / 128.0
 
-        raw = self.model.apply(self.variables, x)
+        raw = self.model.apply(variables, x)
         anchors = jnp.asarray(anchor_centers(self.input_size))
         scores, boxes, landmarks = decode(raw, anchors)
 

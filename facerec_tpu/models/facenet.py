@@ -163,18 +163,85 @@ def prewhiten(crops: jnp.ndarray) -> jnp.ndarray:
     return (x - mean) / jnp.maximum(std, 1e-6)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_embed(embedding_dim: int, dtype: Any):
+    """One compiled embed program per (dim, dtype) — the two 128-d and
+    the two 512-d checkpoints share an executable, with parameters
+    passed as arguments."""
+    model = FaceNet(embedding_dim=embedding_dim, dtype=dtype)
+
+    @jax.jit
+    def embed(variables, crops):
+        x = prewhiten(crops)
+        emb = model.apply(variables, x)
+        norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return emb / jnp.maximum(norm, 1e-12)
+
+    return model, embed
+
+
+def stack_embedder_params(embedders):
+    """Stack the parameter trees of same-architecture embedders for a
+    vmapped forward (leading checkpoint axis)."""
+    trees = [e.variables for e in embedders]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_stacked_embed(embedding_dim: int, dtype: Any):
+    """Compiled vmapped embed: (K stacked param trees, crops) →
+    (K, N, dim).  The four reference checkpoints collapse into two such
+    programs (one per bottleneck size) instead of four."""
+    model = FaceNet(embedding_dim=embedding_dim, dtype=dtype)
+
+    def one(variables, x):
+        emb = model.apply(variables, x)
+        norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return emb / jnp.maximum(norm, 1e-12)
+
+    @jax.jit
+    def embed(stacked_variables, crops):
+        x = prewhiten(crops)
+        return jax.vmap(one, in_axes=(0, None))(stacked_variables, x)
+
+    return embed
+
+
+class StackedEmbedders:
+    """Several same-dim FaceNet checkpoints as one vmapped forward."""
+
+    def __init__(self, embedders):
+        dims = {e.embedding_dim for e in embedders}
+        assert len(dims) == 1, "stack same-dim embedders only"
+        self.names = [e.name for e in embedders]
+        self.dtype = embedders[0].dtype
+        self.stacked = stack_embedder_params(embedders)
+        self._embed = _jitted_stacked_embed(dims.pop(), self.dtype)
+
+    def __call__(self, crops) -> jnp.ndarray:
+        """(N,160,160,3) → (K, N, dim) unit embeddings, one dispatch."""
+        return self._embed(self.stacked, crops)
+
+
 class FaceNetEmbedder:
     """Callable wrapper: crops → L2-normalized embeddings.
 
     One instance per checkpoint name; the extract stage stacks several
     and runs them over the same crop batch (extract.py:166-167 runs 4).
+    The forward pass is a single jitted dispatch (the tunneled TPU has
+    ~50 ms per-call latency, so op-by-op execution is fatal).
     """
 
     def __init__(self, name: str, embedding_dim: int,
                  dtype: Any = jnp.float32, params: Dict | None = None,
                  rng_seed: int = 0):
         self.name = name
-        self.model = FaceNet(embedding_dim=embedding_dim, dtype=dtype)
+        self.embedding_dim = embedding_dim
+        self.dtype = dtype
+        self.model, self._embed = _jitted_embed(embedding_dim, dtype)
         if params is None:
             params = self.model.init(
                 jax.random.PRNGKey(rng_seed),
@@ -183,7 +250,4 @@ class FaceNetEmbedder:
 
     def __call__(self, crops: jnp.ndarray) -> jnp.ndarray:
         """(N, 160, 160, 3) uint8/float crops → (N, dim) unit vectors."""
-        x = prewhiten(crops)
-        emb = self.model.apply(self.variables, x)
-        norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
-        return emb / jnp.maximum(norm, 1e-12)
+        return self._embed(self.variables, crops)

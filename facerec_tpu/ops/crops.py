@@ -62,3 +62,17 @@ def crop_resize(frames: jnp.ndarray, frame_idx: jnp.ndarray,
     bot = (gather(y1i, x0) * (1 - tx)[:, None, :, None]
            + gather(y1i, x1i) * tx[:, None, :, None])
     return top * (1 - ty)[:, :, None, None] + bot * ty[:, :, None, None]
+
+
+import jax as _jax
+
+_crop_resize_jit = _jax.jit(crop_resize, static_argnames=("out_size",))
+
+
+def crop_resize_dispatch(frames, frame_idx, crop_boxes, out_size):
+    """Single-dispatch crop_resize (falls through inside traces)."""
+    import jax.core
+
+    if isinstance(frames, jax.core.Tracer):
+        return crop_resize(frames, frame_idx, crop_boxes, out_size)
+    return _crop_resize_jit(frames, frame_idx, crop_boxes, out_size)

@@ -101,6 +101,19 @@ def detect_block(
     frames: jnp.ndarray, state: SceneState, crop: bool = True,
     grayscale: bool = False,
 ) -> Tuple[jnp.ndarray, SceneState]:
+    """Jit-dispatching wrapper around :func:`_detect_block_impl` (one
+    device call per block; falls through when already tracing)."""
+    import jax.core
+
+    if isinstance(frames, jax.core.Tracer):
+        return _detect_block_impl(frames, state, crop, grayscale)
+    return _detect_block_jit(frames, state, crop, grayscale)
+
+
+def _detect_block_impl(
+    frames: jnp.ndarray, state: SceneState, crop: bool = True,
+    grayscale: bool = False,
+) -> Tuple[jnp.ndarray, SceneState]:
     """Scene-change flags for a block of frames.
 
     Args:
@@ -152,3 +165,7 @@ def detect_block(
         n_seen=state.n_seen + b,
     )
     return flags, new_state
+
+
+_detect_block_jit = jax.jit(_detect_block_impl,
+                            static_argnames=("crop", "grayscale"))

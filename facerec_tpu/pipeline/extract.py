@@ -56,6 +56,13 @@ class EmbedderBank:
 
     def __init__(self, embedders: Dict[str, "object"]):
         self.embedders = embedders
+        # group same-dim checkpoints into one vmapped program each
+        from facerec_tpu.models import StackedEmbedders
+
+        by_dim: Dict[int, list] = {}
+        for e in embedders.values():
+            by_dim.setdefault(e.embedding_dim, []).append(e)
+        self.groups = [StackedEmbedders(v) for v in by_dim.values()]
 
     @classmethod
     def create_default(cls, dtype=None) -> "EmbedderBank":
@@ -71,8 +78,13 @@ class EmbedderBank:
         })
 
     def __call__(self, crops) -> Dict[str, np.ndarray]:
-        return {name: np.asarray(emb(crops))
-                for name, emb in self.embedders.items()}
+        out: Dict[str, np.ndarray] = {}
+        for group in self.groups:
+            stacked = np.asarray(group(crops))
+            for k, name in enumerate(group.names):
+                out[name] = stacked[k]
+        # preserve checkpoint declaration order
+        return {name: out[name] for name in self.embedders}
 
 
 def run_extract(
@@ -87,7 +99,7 @@ def run_extract(
     import jax.numpy as jnp
 
     from facerec_tpu.ops import scene as scene_ops
-    from facerec_tpu.ops.crops import crop_resize
+    from facerec_tpu.ops.crops import crop_resize_dispatch as crop_resize
 
     assert 0 <= cfg.shard_i < cfg.n_shards, "Bad shard index."
 

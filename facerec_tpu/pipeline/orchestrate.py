@@ -1,0 +1,121 @@
+"""Pipeline orchestrator.
+
+Replaces /root/reference/facerec/facerec-pipeline.py: a declarative
+stage list executed in order with per-stage timing and
+abort-on-failure.  No SLURM — one TPU chip replaces the 100-way array
+job, so stages run in-process (extract can still fan out over shards
+with ``--n-shards`` for multi-host setups; shard outputs merge
+identically).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+import traceback
+from typing import Callable, List, Optional
+
+from facerec_tpu.config import (ClassifyConfig, ClusterConfig, ExtractConfig,
+                                MergeConfig, PipelineConfig)
+from facerec_tpu.contract.naming import movie_id_from_filename
+
+
+@dataclasses.dataclass
+class Stage:
+    name: str
+    run: Callable[[], object]
+    skip: bool = False
+
+
+def build_stages(filmfile: str, out_path: str, cfg: PipelineConfig,
+                 actors_dir: Optional[str] = None,
+                 skip: List[str] = ()) -> List[Stage]:
+    movie_id = movie_id_from_filename(filmfile)
+    data_dir = os.path.join(out_path, f"{movie_id}-data")
+
+    def extract():
+        from facerec_tpu.pipeline.extract import run_extract
+
+        return run_extract(filmfile, cfg.extract, out_path)
+
+    def merge():
+        from facerec_tpu.pipeline.merge import run_merge
+
+        return run_merge(data_dir, movie_id, cfg.merge)
+
+    def cluster():
+        from facerec_tpu.pipeline.cluster import run_cluster
+
+        return run_cluster(data_dir, cfg.cluster)
+
+    def classify():
+        from facerec_tpu.pipeline.classify import (build_training_set,
+                                                   read_actor_embeddings,
+                                                   run_classify)
+
+        zipf = os.path.join(actors_dir or ".", "actor-images.zip")
+        embeddings, _ = read_actor_embeddings(zipf, cfg.classify.emb_name)
+        x, y = build_training_set(embeddings, cfg.classify.min_samples)
+        return run_classify(data_dir, x, y, cfg.classify)
+
+    stages = [
+        Stage("extract", extract),
+        Stage("merge", merge),
+        Stage("cluster", cluster),
+        Stage("classify", classify,
+              skip=actors_dir is None),
+    ]
+    for s in stages:
+        if s.name in skip:
+            s.skip = True
+    return stages
+
+
+def run_pipeline(stages: List[Stage], verbose: bool = False) -> bool:
+    """Run stages in order; abort on first failure
+    (facerec-pipeline.py:244-261 semantics)."""
+    for i, stage in enumerate(stages):
+        if stage.skip:
+            print(f"Skipping stage <{stage.name}>")
+            continue
+        start = time.time()
+        print(f"Starting stage #{i} <{stage.name}>")
+        try:
+            stage.run()
+        except Exception:
+            print(f"Stage #{i} <{stage.name}> failed in "
+                  f"{time.time() - start:.1f}s, aborting.")
+            traceback.print_exc()
+            return False
+        print(f"Stage #{i} <{stage.name}> succeeded in "
+              f"{time.time() - start:.1f}s")
+    return True
+
+
+def main(argv=None) -> int:
+    from facerec_tpu.runtime import ensure_platform
+
+    ensure_platform()
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--filmfile", type=str, required=True,
+                        help="film path like 125261-name.mp4")
+    parser.add_argument("--out-path", type=str, default=".")
+    parser.add_argument("--actors-dir", type=str, default=None,
+                        help="directory with actor-images.zip (enables "
+                             "the classify stage)")
+    parser.add_argument("--skip", type=str, default="",
+                        help="comma-separated stage names to skip")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    stages = build_stages(args.filmfile, args.out_path, PipelineConfig(),
+                          actors_dir=args.actors_dir,
+                          skip=args.skip.split(",") if args.skip else ())
+    ok = run_pipeline(stages, verbose=args.verbose)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

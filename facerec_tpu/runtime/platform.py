@@ -10,6 +10,23 @@ from __future__ import annotations
 
 import os
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def setup_compilation_cache() -> None:
+    """Persist XLA executables across processes (first TPU compiles of
+    the full models run minutes; subsequent runs hit the cache)."""
+    import jax
+
+    cache_dir = os.environ.get("FACEREC_JAX_CACHE",
+                               os.path.join(_REPO_ROOT, ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
 def ensure_platform() -> None:
     platform = os.environ.get("FACEREC_PLATFORM")
@@ -17,3 +34,4 @@ def ensure_platform() -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    setup_compilation_cache()

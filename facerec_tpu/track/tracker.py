@@ -193,6 +193,23 @@ def step(
     return new_state, emit
 
 
+def _run_block_impl(cfg, state, det_boxes, det_valid, scene_changes,
+                    frame0):
+    b = det_boxes.shape[0]
+
+    def body(carry, inp):
+        det_b, det_v, sc, off = inp
+        new_carry, emit = step(cfg, carry, det_b, det_v, sc, frame0 + off)
+        return new_carry, emit
+
+    offsets = jnp.arange(b, dtype=jnp.int32)
+    return jax.lax.scan(body, state, (det_boxes, det_valid, scene_changes,
+                                      offsets))
+
+
+_run_block_jit = jax.jit(_run_block_impl, static_argnums=0)
+
+
 def run_block(
     cfg: TrackerConfig,
     state: TrackerState,
@@ -201,7 +218,7 @@ def run_block(
     scene_changes: jnp.ndarray,
     frame0: jnp.ndarray,
 ) -> Tuple[TrackerState, TrackEmit]:
-    """Scan the tracker over a block of frames.
+    """Scan the tracker over a block of frames (one jitted dispatch).
 
     Args:
         state: carry from the previous block.
@@ -214,13 +231,11 @@ def run_block(
         (new_state, emissions) with a leading (B,) axis on every
         :class:`TrackEmit` field.
     """
-    b = det_boxes.shape[0]
+    import jax.core
 
-    def body(carry, inp):
-        det_b, det_v, sc, off = inp
-        new_carry, emit = step(cfg, carry, det_b, det_v, sc, frame0 + off)
-        return new_carry, emit
-
-    offsets = jnp.arange(b, dtype=jnp.int32)
-    return jax.lax.scan(body, state, (det_boxes, det_valid, scene_changes,
-                                      offsets))
+    if isinstance(det_boxes, jax.core.Tracer):
+        # already inside a surrounding jit/shard_map trace
+        return _run_block_impl(cfg, state, det_boxes, det_valid,
+                               scene_changes, jnp.asarray(frame0))
+    return _run_block_jit(cfg, state, det_boxes, det_valid,
+                          scene_changes, jnp.asarray(frame0, jnp.int32))

@@ -1,15 +1,17 @@
 #!/usr/bin/env python3
 """Headline benchmark: extract-pipeline frames/sec on one chip.
 
-Measures the fused device path of the extract stage — scene statistics,
-single-stage detection (512×512), the SORT tracker scan, and 4×FaceNet
-embedding (two vmapped same-dim groups) of the per-block face crops —
-on film-display-resolution frames, all as ONE jitted program per block.
-This is the work the reference spreads over a 100-way SLURM GPU array
-(SURVEY.md §6); the baseline is the effective cluster throughput the
-reference provisions: 100 shards × ~1800 frames inside the 3 h
-walltime budget ⇒ ~16.7 frames/s for the whole cluster
-(/root/reference/scripts/extract.sh:11-12, readme.txt:13).
+Measures the device path of the extract stage — scene statistics +
+single-stage detection (512×512) + the SORT tracker scan as one fused
+program, plus 4×FaceNet embedding (two vmapped same-dim groups) of the
+per-block face crops — on film-display-resolution frames.  The three
+dispatches per block are issued asynchronously (device-to-device data
+dependencies only), so embeds overlap the next block's detection.
+
+The baseline is the effective cluster throughput the reference
+provisions for the same work: 100 SLURM GPU shards × ~1800 frames
+inside the 3 h walltime budget ⇒ ~16.7 frames/s for the whole cluster
+(/root/reference/scripts/extract.sh:11-12, readme.txt:13; SURVEY.md §6).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -57,22 +59,19 @@ def main() -> None:
     bank = EmbedderBank.create_default(dtype=compute_dtype)
     tracker_cfg = TrackerConfig(max_tracks=32, max_detections=16)
 
-    def block_step(det_vars, stacked_params, frames, scene_state,
-                   tracker_state, crop_boxes, crop_frames):
-        flags, scene_state = scene_ops.detect_block(frames, scene_state)
+    def detect_track(det_vars, frames, scene_state, tracker_state,
+                     crop_boxes, crop_frames):
+        flags, scene_state = scene_ops._detect_block_impl(
+            frames, scene_state)
         det = detector._forward(det_vars, frames)
         tracker_state, emit = _run_block_impl(
             tracker_cfg, tracker_state, det.boxes, det.valid, flags,
             jnp.int32(0))
         crops = crop_resize(frames, crop_frames, crop_boxes, 160)
-        embs = [group._embed(params, crops)
-                for group, params in zip(bank.groups, stacked_params)]
-        # tiny fingerprint forces full execution when fetched
-        fp = (flags.sum().astype(jnp.float32) + emit.box.sum()
-              + sum(e.sum() for e in embs).astype(jnp.float32))
-        return fp, scene_state, tracker_state
+        fp = flags.sum().astype(jnp.float32) + emit.box.sum()
+        return fp, crops, scene_state, tracker_state
 
-    step = jax.jit(block_step)
+    step1 = jax.jit(detect_track)
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.integers(0, 255, (BLOCK, HEIGHT, WIDTH, 3)),
@@ -87,21 +86,32 @@ def main() -> None:
         rng.integers(0, BLOCK, CROPS_PER_BLOCK), jnp.int32)
     scene_state = scene_ops.initial_state(HEIGHT, WIDTH)
     tracker_state = init_tracker(tracker_cfg)
-    stacked = [g.stacked for g in bank.groups]
     det_vars = detector.variables
 
-    log("compiling fused block step (cached after first run)...")
     t0 = time.perf_counter()
-    fp, scene_s, tracker_s = step(det_vars, stacked, frames, scene_state,
-                                  tracker_state, crop_boxes, crop_frames)
+    log("compiling detect+track program...")
+    fp, crops, scene_s, tracker_s = step1(
+        det_vars, frames, scene_state, tracker_state, crop_boxes,
+        crop_frames)
     _ = float(fp)
-    log(f"compile+first block: {time.perf_counter() - t0:.1f}s")
+    log(f"  {time.perf_counter() - t0:.1f}s")
+    for group in bank.groups:
+        t0 = time.perf_counter()
+        log(f"compiling embed group {group.names}...")
+        e = group(crops)
+        _ = float(e.sum())
+        log(f"  {time.perf_counter() - t0:.1f}s")
 
     start = time.perf_counter()
+    fps_sink = []
     for _ in range(N_BLOCKS):
-        fp, scene_s, tracker_s = step(det_vars, stacked, frames, scene_s,
-                                      tracker_s, crop_boxes, crop_frames)
-    _ = float(fp)   # host fetch serializes on completion
+        fp, crops, scene_s, tracker_s = step1(
+            det_vars, frames, scene_s, tracker_s, crop_boxes, crop_frames)
+        embs = [group(crops) for group in bank.groups]
+        fps_sink.append(fp + sum(e.sum().astype(jnp.float32)
+                                 for e in embs))
+    total = float(sum(fps_sink))   # one host fetch drains the pipeline
+    assert np.isfinite(total)
     elapsed = time.perf_counter() - start
 
     fps = (N_BLOCKS * BLOCK) / elapsed

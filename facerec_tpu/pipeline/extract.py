@@ -34,7 +34,8 @@ from facerec_tpu.contract.naming import movie_id_from_filename, shard_file_name
 from facerec_tpu.ops.boxes import round_clip_box
 from facerec_tpu.pipeline import faces as faces_mod
 from facerec_tpu.track import TrackerConfig, TrajectoryAssembler, init_tracker, run_block
-from facerec_tpu.video.reader import VideoReader, load_aspect_ratio_csv, probe_video
+from facerec_tpu.video.reader import (load_aspect_ratio_csv,
+                                      open_block_reader, probe_video)
 
 
 @dataclasses.dataclass
@@ -162,9 +163,18 @@ def run_extract(
         dirs.scene_changes,
         shard_file_name("scene_changes", movie_id, beg, end))
 
-    reader = VideoReader(file, info)
+    reader = open_block_reader(file, info, cfg.block_frames)
     features_file = open(features_path, "w")
     traj_file = open(traj_path, "w")
+
+    jpeg_writer = None
+    if cfg.save_images:
+        try:
+            from facerec_tpu.runtime.native import NativeJpegWriter
+
+            jpeg_writer = NativeJpegWriter(n_threads=2, quality=65)
+        except (RuntimeError, OSError):
+            jpeg_writer = None
 
     def flush_faces(watermark: Optional[int]) -> None:
         """Emit features/images for pending faces with frame ≤ watermark
@@ -221,7 +231,7 @@ def run_extract(
             if cfg.save_images:
                 faces_mod.save_face_image(
                     stack[stack_index(p.frame)], p.posterior_box, d_w,
-                    d_h, dirs.images, rec["tag"])
+                    d_h, dirs.images, rec["tag"], jpeg_writer=jpeg_writer)
             counters.saved_boxes += 1
             frames_seen.add(p.frame)
         counters.saved_frames += len(frames_seen)
@@ -292,6 +302,8 @@ def run_extract(
     features_file.close()
     traj_file.close()
     reader.close()
+    if jpeg_writer is not None:
+        jpeg_writer.close()   # drains the async write queue
 
     print(f"Saved {counters.saved_boxes} boxes from "
           f"{counters.saved_frames} different frames")

@@ -50,10 +50,10 @@ def keypoints_dict(landmarks: np.ndarray) -> Dict[str, tuple]:
             for i, name in enumerate(KEYPOINT_NAMES)}
 
 
-def save_face_image(frame_pixels: np.ndarray, posterior_box, width: int,
-                    height: int, images_dir: str, tag: str) -> None:
-    """Padded crop → thumbnail ≤160 → grayscale collapse → JPEG q65
-    (extract.py:169-185)."""
+def prepare_face_image(frame_pixels: np.ndarray, posterior_box,
+                       width: int, height: int) -> np.ndarray:
+    """Padded crop → thumbnail ≤160 → grayscale collapse
+    (extract.py:169-178).  Returns (h, w, 3) RGB or (h, w) grayscale."""
     from PIL import Image, ImageOps
 
     padded = round_clip_box(posterior_box, width, height,
@@ -61,10 +61,26 @@ def save_face_image(frame_pixels: np.ndarray, posterior_box, width: int,
     img = Image.fromarray(frame_pixels).crop(tuple(padded))
     img.thumbnail((FACE_IMAGE_SIZE, FACE_IMAGE_SIZE),
                   resample=Image.BILINEAR)
-    arr = np.asarray(img).reshape(-1, 3)
-    if arr.size and (arr[:, 0] == arr[:, 1]).all():
-        img = ImageOps.grayscale(img)
-    img.save(f"{images_dir}/{tag}.jpeg", quality=65)
+    arr = np.asarray(img)
+    flat = arr.reshape(-1, 3)
+    if flat.size and (flat[:, 0] == flat[:, 1]).all():
+        return np.asarray(ImageOps.grayscale(img))
+    return arr
+
+
+def save_face_image(frame_pixels: np.ndarray, posterior_box, width: int,
+                    height: int, images_dir: str, tag: str,
+                    jpeg_writer=None) -> None:
+    """JPEG q65 write (extract.py:185), async via the native writer
+    when available."""
+    arr = prepare_face_image(frame_pixels, posterior_box, width, height)
+    path = f"{images_dir}/{tag}.jpeg"
+    if jpeg_writer is not None:
+        jpeg_writer.submit(path, arr)
+    else:
+        from PIL import Image
+
+        Image.fromarray(arr).save(path, quality=65)
 
 
 def feature_record_for(movie_id: int, frame: int, tight_box,

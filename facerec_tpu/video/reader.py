@@ -126,3 +126,33 @@ class VideoReader:
 
     def close(self) -> None:
         self.cap.release()
+
+
+class _NativeBlockAdapter:
+    """Adapts NativeVideoReader to the (beg, end, block) iterator API."""
+
+    def __init__(self, native_reader):
+        self.native = native_reader
+
+    def blocks(self, beg: int, end: int, block: int):
+        return self.native.blocks(beg, end)
+
+    def close(self) -> None:
+        self.native.close()
+
+
+def open_block_reader(path: str, info: VideoInfo, block_frames: int,
+                      prefer_native: bool = True):
+    """Best available block reader: the native double-buffered C++
+    decoder when built, the OpenCV Python reader otherwise."""
+    if prefer_native:
+        try:
+            from facerec_tpu.runtime.native import NativeVideoReader
+
+            native = NativeVideoReader(
+                path, info.display_width, info.display_height,
+                block_frames)
+            return _NativeBlockAdapter(native)
+        except (RuntimeError, ValueError, OSError):
+            pass
+    return VideoReader(path, info)

@@ -1,0 +1,66 @@
+"""Native C++ decoder / JPEG writer vs the Python paths."""
+import os
+
+import numpy as np
+import pytest
+
+from facerec_tpu.runtime import native
+from facerec_tpu.video.reader import VideoReader, probe_video
+from facerec_tpu.video.synth import make_clip
+
+pytestmark = pytest.mark.skipif(
+    not all(native.available()), reason="native libs not built")
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nat") / "7-n.mp4")
+    return make_clip(path, n_frames=30, cuts=(15,), seed=5)
+
+
+def test_native_decode_matches_cv2(clip):
+    info = probe_video(clip.path)
+    py_reader = VideoReader(clip.path, info)
+    py_blocks = list(py_reader.blocks(0, 30, 8))
+    py_reader.close()
+
+    nr = native.NativeVideoReader(clip.path, info.display_width,
+                                  info.display_height, 8)
+    assert nr.n_frames == info.n_frames
+    assert nr.fps == pytest.approx(info.fps, abs=0.001)
+    native_blocks = list(nr.blocks(0, 30))
+    nr.close()
+
+    assert [f for f, _ in native_blocks] == [f for f, _ in py_blocks]
+    for (_, a), (_, b) in zip(native_blocks, py_blocks):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_decode_range(clip):
+    info = probe_video(clip.path)
+    nr = native.NativeVideoReader(clip.path, info.display_width,
+                                  info.display_height, 4)
+    blocks = list(nr.blocks(10, 21))
+    nr.close()
+    assert [f for f, _ in blocks] == [10, 14, 18]
+    assert [len(b) for _, b in blocks] == [4, 4, 3]
+
+
+def test_native_jpeg_writer(tmp_path, rng):
+    import cv2
+
+    w = native.NativeJpegWriter(n_threads=2, quality=65)
+    # smooth gradient: JPEG must reproduce it closely (noise wouldn't)
+    yy, xx = np.mgrid[0:40, 0:32]
+    rgb = np.stack([yy * 6, xx * 7, (yy + xx) * 3], -1).astype(np.uint8)
+    gray = (np.mgrid[0:20, 0:24][0] * 12).astype(np.uint8)
+    w.submit(str(tmp_path / "a.jpeg"), rgb)
+    w.submit(str(tmp_path / "b.jpeg"), gray)
+    w.close()
+
+    a = cv2.imread(str(tmp_path / "a.jpeg"))
+    assert a is not None and a.shape == (40, 32, 3)
+    # lossy but close
+    assert np.abs(a[..., ::-1].astype(int) - rgb.astype(int)).mean() < 12
+    b = cv2.imread(str(tmp_path / "b.jpeg"), cv2.IMREAD_UNCHANGED)
+    assert b is not None and b.shape == (20, 24)

@@ -63,6 +63,11 @@ class ExtractConfig:
     detector_size: Tuple[int, int] = (512, 512)  # detector input (H, W)
     compute_dtype: str = "bfloat16"
 
+    # Fault tolerance (SURVEY.md §5.3-5.4): block-granular in-stage
+    # checkpoints + idempotent shard completion markers
+    checkpoint_every_blocks: int = 0  # 0 = no in-stage checkpoints
+    resume: bool = True               # skip done shards, resume checkpoints
+
 
 @dataclasses.dataclass(frozen=True)
 class MergeConfig:

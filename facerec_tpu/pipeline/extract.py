@@ -163,9 +163,44 @@ def run_extract(
         dirs.scene_changes,
         shard_file_name("scene_changes", movie_id, beg, end))
 
+    from facerec_tpu.runtime import checkpoint as ckpt
+    from facerec_tpu.runtime.metrics import StageReport, maybe_profile
+
+    report = StageReport(f"extract_{beg}-{end}")
+    ckpt_path = os.path.join(
+        dirs.root, f".extract_{movie_id}_{beg}-{end}.ckpt")
+
+    if cfg.resume and ckpt.is_shard_done(dirs.root, "extract", movie_id,
+                                         beg, end):
+        print(f"Shard {beg}-{end} already complete; skipping.")
+        return ExtractCounters()
+
+    resume_state = ckpt.load_checkpoint(ckpt_path) if (
+        cfg.resume and cfg.checkpoint_every_blocks > 0) else None
+
     reader = open_block_reader(file, info, cfg.block_frames)
-    features_file = open(features_path, "w")
-    traj_file = open(traj_path, "w")
+    if resume_state is None:
+        features_file = open(features_path, "w")
+        traj_file = open(traj_path, "w")
+    else:
+        features_file = open(features_path, "r+")
+        features_file.truncate(resume_state["feat_offset"])
+        features_file.seek(resume_state["feat_offset"])
+        traj_file = open(traj_path, "r+")
+        traj_file.truncate(resume_state["traj_offset"])
+        traj_file.seek(resume_state["traj_offset"])
+
+    start_frame = beg
+    if resume_state is not None:
+        start_frame = resume_state["next_frame"]
+        scene_state = resume_state["scene_state"]
+        tracker_state = resume_state["tracker_state"]
+        assembler = resume_state["assembler"]
+        pending = resume_state["pending"]
+        counters = resume_state["counters"]
+        scene_changes = resume_state["scene_changes"]
+        pixel_window = resume_state["pixel_window"]
+        print(f"Resuming shard {beg}-{end} at frame {start_frame}")
 
     jpeg_writer = None
     if cfg.save_images:
@@ -237,7 +272,8 @@ def run_extract(
         counters.saved_frames += len(frames_seen)
 
     last_block_start = None
-    for frame0, frames in reader.blocks(beg, end_overlap,
+    blocks_done = 0
+    for frame0, frames in reader.blocks(start_frame, end_overlap,
                                         cfg.block_frames):
         dev_frames = jnp.asarray(frames)
         flags, scene_state = scene_ops.detect_block(dev_frames, scene_state)
@@ -285,6 +321,18 @@ def run_extract(
                     del pixel_window[b]
         last_block_start = frame0
         counters.frames_processed += len(frames)
+        blocks_done += 1
+        if (cfg.checkpoint_every_blocks > 0
+                and blocks_done % cfg.checkpoint_every_blocks == 0):
+            features_file.flush()
+            traj_file.flush()
+            ckpt.save_checkpoint(
+                ckpt_path, next_frame=frame0 + len(frames),
+                scene_state=scene_state, tracker_state=tracker_state,
+                assembler=assembler, pending=pending, counters=counters,
+                scene_changes=scene_changes, pixel_window=pixel_window,
+                feat_offset=features_file.tell(),
+                traj_offset=traj_file.tell())
 
     for rec in assembler.finish():
         records.write_trajectory(traj_file, rec)
@@ -304,6 +352,13 @@ def run_extract(
     reader.close()
     if jpeg_writer is not None:
         jpeg_writer.close()   # drains the async write queue
+
+    ckpt.mark_shard_done(dirs.root, "extract", movie_id, beg, end)
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
+    for name, value in dataclasses.asdict(counters).items():
+        report.set(name, value)
+    report.write(dirs.root)
 
     print(f"Saved {counters.saved_boxes} boxes from "
           f"{counters.saved_frames} different frames")

@@ -1,0 +1,70 @@
+"""Structured metrics, timing and profiling.
+
+The reference's observability is unbuffered prints into SLURM logs
+(SURVEY.md §5.1, §5.5); here every stage emits a machine-readable
+summary — counters + wall time — merged into ``run_report.json`` in the
+movie data dir, and the JAX profiler can be enabled per-stage with
+``FACEREC_PROFILE_DIR`` for XLA-level traces.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class StageReport:
+    """Counters + wall-clock for one stage run."""
+
+    def __init__(self, stage: str):
+        self.stage = stage
+        self.counters: Dict[str, float] = {}
+        self._start = time.time()
+
+    def count(self, name: str, value: float = 1) -> None:
+        self.counters[name] = self.counters.get(name, 0) + value
+
+    def set(self, name: str, value) -> None:
+        self.counters[name] = value
+
+    def finish(self) -> dict:
+        return {
+            "stage": self.stage,
+            "wall_seconds": round(time.time() - self._start, 3),
+            "counters": self.counters,
+        }
+
+    def write(self, data_dir: str) -> dict:
+        """Merge this stage's summary into ``run_report.json``."""
+        summary = self.finish()
+        path = os.path.join(data_dir, "run_report.json")
+        report = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    report = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                report = {}
+        report[self.stage] = summary
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(report, f, indent=1)
+        os.replace(tmp, path)
+        return summary
+
+
+@contextlib.contextmanager
+def maybe_profile(stage: str):
+    """JAX profiler trace when FACEREC_PROFILE_DIR is set."""
+    profile_dir = os.environ.get("FACEREC_PROFILE_DIR")
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    out = os.path.join(profile_dir, stage)
+    os.makedirs(out, exist_ok=True)
+    with jax.profiler.trace(out):
+        yield

@@ -65,3 +65,21 @@ def test_nms_all_invalid():
     scores = jnp.full((8,), -1e30, jnp.float32)
     _, valid = nms(boxes, scores, 0.4, 4)
     assert not np.asarray(valid).any()
+
+
+def test_pose_frontalness():
+    import jax.numpy as jnp
+
+    from facerec_tpu.ops.pose import frontalness, is_frontal
+
+    frontal = jnp.asarray([[[10.0, 10], [30, 10], [20, 20],
+                            [13, 28], [27, 28]]])
+    profile = jnp.asarray([[[10.0, 10], [30, 10], [29, 20],
+                            [13, 28], [27, 28]]])
+    degenerate = jnp.asarray([[[10.0, 10], [10, 10], [10, 20],
+                               [10, 28], [10, 28]]])
+    s = frontalness(jnp.concatenate([frontal, profile, degenerate]))
+    assert float(s[0]) > 0.9
+    assert float(s[1]) < 0.2
+    assert float(s[2]) == 0.0
+    assert is_frontal(frontal)[0]

@@ -99,7 +99,9 @@ def step(
         scene_change: () bool — kill all live tracks before this frame.
         frame: () int32 global frame index.
     """
-    t, d = cfg.max_tracks, cfg.max_detections
+    # Detection capacity comes from the data so a detector padded to a
+    # different width than cfg.max_detections still works.
+    t, d = cfg.max_tracks, det_boxes.shape[0]
     arange_t = jnp.arange(t, dtype=jnp.int32)
     arange_d = jnp.arange(d, dtype=jnp.int32)
 

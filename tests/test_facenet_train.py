@@ -1,0 +1,54 @@
+"""FaceNet triplet training: mining correctness + loss decreases."""
+import numpy as np
+import jax.numpy as jnp
+
+from facerec_tpu.train.facenet_train import (pairwise_sq_dists,
+                                             semi_hard_triplet_loss)
+
+
+def test_pairwise_sq_dists(rng):
+    x = rng.normal(size=(6, 4)).astype(np.float32)
+    got = np.asarray(pairwise_sq_dists(jnp.asarray(x)))
+    want = ((x[:, None] - x[None, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_triplet_loss_zero_when_separated(rng):
+    # two tight clusters at orthogonal poles of the sphere → no violations
+    pole_a = np.eye(8)[0]
+    pole_b = np.eye(8)[7]
+    a = (pole_a + rng.normal(size=(4, 8)) * 0.01).astype(np.float32)
+    b = (pole_b + rng.normal(size=(4, 8)) * 0.01).astype(np.float32)
+    emb = np.concatenate([a, b])
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    labels = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    loss = float(semi_hard_triplet_loss(jnp.asarray(emb),
+                                        jnp.asarray(labels)))
+    # d_ap ~ 1e-4, d_an ~ 2.0 >> margin → every triplet satisfied
+    assert loss < 1e-5, loss
+
+
+def test_triplet_loss_positive_when_mixed(rng):
+    emb = rng.normal(size=(8, 8)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    labels = np.array([0, 1, 0, 1, 0, 1, 0, 1])
+    loss = float(semi_hard_triplet_loss(jnp.asarray(emb),
+                                        jnp.asarray(labels)))
+    assert loss > 0.0
+
+
+def test_trainer_loss_decreases(rng):
+    """Tiny embedder (reuse detector-trainer style smoke): to keep the
+    test light we train the full FaceNet for 3 steps on 8 crops."""
+    from facerec_tpu.train.facenet_train import FaceNetTrainer
+
+    trainer = FaceNetTrainer(embedding_dim=32, learning_rate=3e-4)
+    params, opt_state = trainer.init()
+    crops = jnp.asarray(rng.integers(0, 255, (8, 160, 160, 3)), jnp.uint8)
+    labels = jnp.asarray(np.array([0, 0, 1, 1, 2, 2, 3, 3]))
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = trainer.step(params, opt_state, crops,
+                                               labels)
+        losses.append(float(loss))
+    assert losses[-1] <= losses[0] + 1e-3, losses

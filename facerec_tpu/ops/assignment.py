@@ -132,20 +132,42 @@ def associate(
     """
     d, t = iou.shape
     k = max(d, t)
-    pair_valid = det_valid[:, None] & trk_valid[None, :]
-    utility = jnp.where(pair_valid & (iou >= iou_threshold), iou, -1.0)
+    pair_ok = det_valid[:, None] & trk_valid[None, :] & (iou >= iou_threshold)
+    utility = jnp.where(pair_ok, iou, -1.0)
 
-    padded = jnp.full((k, k), -2.0, jnp.float32)
-    padded = lax.dynamic_update_slice(padded, utility, (0, 0))
-    col4row = solve_lap_max(padded)[:d]
+    def solve(_):
+        padded = jnp.full((k, k), -2.0, jnp.float32)
+        padded = lax.dynamic_update_slice(padded, utility, (0, 0))
+        col4row = solve_lap_max(padded)[:d]
 
-    in_range = col4row < t
-    col_clipped = jnp.clip(col4row, 0, t - 1)
-    good = (
-        in_range
-        & det_valid
-        & jnp.take_along_axis(
-            pair_valid & (iou >= iou_threshold), col_clipped[:, None], axis=1
-        )[:, 0]
-    )
-    return jnp.where(good, col4row, -1)
+        in_range = col4row < t
+        col_clipped = jnp.clip(col4row, 0, t - 1)
+        good = (
+            in_range
+            & det_valid
+            & jnp.take_along_axis(pair_ok, col_clipped[:, None], axis=1)[:, 0]
+        )
+        return jnp.where(good, col4row, -1)
+
+    if d > t:
+        # With more rows than real columns the -1/-2 padding economy can
+        # move the optimum away from row argmaxes; always solve exactly.
+        return solve(None)
+
+    # Fast path: when every "active" detection (one with at least one
+    # above-threshold pair) has a strictly unique row maximum and the
+    # argmax columns are distinct, assigning each active row its argmax
+    # attains the sum-of-row-maxima upper bound, so it is THE optimal
+    # assignment restricted to active rows.  With d ≤ t every row gets a
+    # real column, so inactive/padding rows contribute a constant and
+    # cannot perturb it.  In tracking this covers almost every frame —
+    # the serial O(K³) solver only runs on genuine conflicts.
+    active = pair_ok.any(axis=1)
+    best = jnp.argmax(utility, axis=1).astype(jnp.int32)
+    best_val = jnp.max(utility, axis=1)
+    tied = jnp.sum(utility == best_val[:, None], axis=1) > 1
+    taken = jnp.zeros((t,), jnp.int32).at[best].add(
+        active.astype(jnp.int32))
+    fast_ok = ~jnp.any(taken > 1) & ~jnp.any(tied & active)
+    fast = jnp.where(active, best, -1)
+    return lax.cond(fast_ok, lambda _: fast, solve, None)

@@ -6,11 +6,34 @@ all face crops of a frame block are gathered and resampled in one
 vectorized device op feeding the embedder batch.
 
 Sampling uses half-pixel centers (OpenCV/PIL bilinear convention) with
-edge clamping.
+edge clamping.  Bilinear resampling is linear in the pixels, so instead
+of per-pixel 2D gathers (which serialize on TPU — ~141 ms for 32 crops
+from a 64-frame block) each crop is computed as two small dense
+matmuls with per-crop interpolation matrices:
+
+    out[n] = Ry[n] @ frame[n] @ Rx[n]^T
+
+where Ry (S, H) / Rx (S, W) hold the two nonzero bilinear weights per
+output row/column.  Building Ry/Rx is a pure broadcast-compare (no
+gather), and the contractions ride the MXU (<1 ms for the same batch).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def _axis_weights(src: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(N, S) source coords → (N, S, size) bilinear weight matrix with
+    edge clamping (two nonzero entries per row; one at the edges)."""
+    f0 = jnp.floor(src)
+    t = src - f0
+    i0 = jnp.clip(f0.astype(jnp.int32), 0, size - 1)
+    i1 = jnp.clip(i0 + 1, 0, size - 1)
+    idx = jnp.arange(size, dtype=jnp.int32)
+    w0 = jnp.where(idx == i0[..., None], (1.0 - t)[..., None], 0.0)
+    w1 = jnp.where(idx == i1[..., None], t[..., None], 0.0)
+    return w0 + w1
 
 
 def crop_resize(frames: jnp.ndarray, frame_idx: jnp.ndarray,
@@ -27,41 +50,25 @@ def crop_resize(frames: jnp.ndarray, frame_idx: jnp.ndarray,
     Returns:
         (N, S, S, C) float32 crops.
     """
-    n = crop_boxes.shape[0]
     h, w = frames.shape[1:3]
     s = out_size
 
     x1, y1, x2, y2 = [crop_boxes[:, i] for i in range(4)]
-    scale_x = (x2 - x1) / s
-    scale_y = (y2 - y1) / s
-
     grid = jnp.arange(s, dtype=jnp.float32) + 0.5
     # source coordinates with half-pixel centers
-    src_x = x1[:, None] + grid[None, :] * scale_x[:, None] - 0.5  # (N, S)
-    src_y = y1[:, None] + grid[None, :] * scale_y[:, None] - 0.5
+    src_x = x1[:, None] + grid[None, :] * ((x2 - x1) / s)[:, None] - 0.5
+    src_y = y1[:, None] + grid[None, :] * ((y2 - y1) / s)[:, None] - 0.5
 
-    def axis_weights(src, size):
-        f0 = jnp.floor(src)
-        t = src - f0
-        i0 = jnp.clip(f0.astype(jnp.int32), 0, size - 1)
-        i1 = jnp.clip(i0 + 1, 0, size - 1)
-        return i0, i1, t
+    rx = _axis_weights(src_x, w)                      # (N, S, W)
+    ry = _axis_weights(src_y, h)                      # (N, S, H)
 
-    x0, x1i, tx = axis_weights(src_x, w)
-    y0, y1i, ty = axis_weights(src_y, h)
-
-    f = frames.astype(jnp.float32)
-    fi = frame_idx[:, None, None]
-
-    def gather(yi, xi):
-        # (N,S,1) rows × (N,1,S) cols → (N,S,S,C)
-        return f[fi, yi[:, :, None], xi[:, None, :]]
-
-    top = (gather(y0, x0) * (1 - tx)[:, None, :, None]
-           + gather(y0, x1i) * tx[:, None, :, None])
-    bot = (gather(y1i, x0) * (1 - tx)[:, None, :, None]
-           + gather(y1i, x1i) * tx[:, None, :, None])
-    return top * (1 - ty)[:, :, None, None] + bot * ty[:, :, None, None]
+    # whole-frame gather per crop (contiguous, cheap), then two MXU
+    # contractions; HIGHEST precision keeps f32 pixel accuracy.
+    g = jnp.take(frames, frame_idx, axis=0).astype(jnp.float32)
+    cols = jnp.einsum("ntw,nhwc->nhtc", rx, g,
+                      precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("nsh,nhtc->nstc", ry, cols,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 import jax as _jax

@@ -62,13 +62,20 @@ def equalize(y: jnp.ndarray) -> jnp.ndarray:
     """Histogram equalization of a batch of luminance planes.
 
     Mirrors scene.py:52-63: a 256-bin density histogram over values cast
-    to uint8, cdf lookup scaled by 255.  Gather + bincount are VPU-friendly.
+    to uint8, cdf lookup scaled by 255.  On TPU this dispatches to the
+    Pallas kernel (:mod:`facerec_tpu.ops.pallas.equalize`) — the XLA
+    scatter/gather lowering of bincount + take serializes there; both
+    paths are bit-identical.
 
     Args:
         y: (B, H, W) float32.
     Returns:
         (B, H, W) float32 equalized planes.
     """
+    if jax.default_backend() == "tpu":
+        from facerec_tpu.ops.pallas import equalize_tpu
+
+        return equalize_tpu(y)
     b, h, w = y.shape
     idx = y.astype(jnp.uint8).astype(jnp.int32)
     counts = jax.vmap(lambda im: jnp.bincount(im.ravel(), length=256))(idx)

@@ -68,3 +68,31 @@ def test_associate_optimal_swap():
         iou_threshold=0.5,
     )
     assert out.tolist() == [1, 0]
+
+
+def test_associate_random_matches_scipy(rng):
+    """Fast path and JV fallback must agree with a scipy-based oracle on
+    the reference semantics (threshold demotion + post-filter)."""
+    for trial in range(30):
+        d, t = rng.integers(1, 9), rng.integers(1, 9)
+        iou = rng.uniform(0, 1, (d, t)).astype(np.float32)
+        det_valid = rng.uniform(size=d) > 0.2
+        trk_valid = rng.uniform(size=t) > 0.2
+        thr = 0.3
+
+        got = np.asarray(assignment.associate(
+            jnp.asarray(iou), jnp.asarray(det_valid),
+            jnp.asarray(trk_valid), thr))
+
+        pair_ok = det_valid[:, None] & trk_valid[None, :] & (iou >= thr)
+        util = np.where(pair_ok, iou, -1.0)
+        k = max(d, t)
+        padded = np.full((k, k), -2.0, np.float32)
+        padded[:d, :t] = util
+        rows, cols = linear_sum_assignment(padded, maximize=True)
+        want = np.full(d, -1, np.int64)
+        for r, c in zip(rows, cols):
+            if r < d and c < t and pair_ok[r, c]:
+                want[r] = c
+        assert got.tolist() == want.tolist(), (trial, iou, det_valid,
+                                               trk_valid)

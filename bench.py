@@ -88,6 +88,11 @@ def main() -> None:
     tracker_state = init_tracker(tracker_cfg)
     det_vars = detector.variables
 
+    stacks = tuple(g.stacked for g in bank.groups)
+    embed_all = jax.jit(lambda stacks, crops: sum(
+        g._embed(st, crops).sum().astype(jnp.float32)
+        for g, st in zip(bank.groups, stacks)))
+
     t0 = time.perf_counter()
     log("compiling detect+track program...")
     fp, crops, scene_s, tracker_s = step1(
@@ -95,21 +100,17 @@ def main() -> None:
         crop_frames)
     _ = float(fp)
     log(f"  {time.perf_counter() - t0:.1f}s")
-    for group in bank.groups:
-        t0 = time.perf_counter()
-        log(f"compiling embed group {group.names}...")
-        e = group(crops)
-        _ = float(e.sum())
-        log(f"  {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    log("compiling embed-all program...")
+    _ = float(embed_all(stacks, crops))
+    log(f"  {time.perf_counter() - t0:.1f}s")
 
     start = time.perf_counter()
     fps_sink = []
     for _ in range(N_BLOCKS):
         fp, crops, scene_s, tracker_s = step1(
             det_vars, frames, scene_s, tracker_s, crop_boxes, crop_frames)
-        embs = [group(crops) for group in bank.groups]
-        fps_sink.append(fp + sum(e.sum().astype(jnp.float32)
-                                 for e in embs))
+        fps_sink.append(fp + embed_all(stacks, crops))
     total = float(sum(fps_sink))   # one host fetch drains the pipeline
     assert np.isfinite(total)
     elapsed = time.perf_counter() - start

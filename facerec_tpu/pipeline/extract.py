@@ -47,6 +47,42 @@ class ExtractCounters:
     overflow: int = 0
 
 
+class FusedBlockStep:
+    """Scene statistics + detector forward + tracker scan as ONE XLA
+    computation per frame block — a single device dispatch where the
+    reference pays a Python/TF round trip per frame (extract.py:281-342).
+
+    Only usable with a :class:`~facerec_tpu.models.DetectorHarness`
+    (pure-function detector); host-side detectors fall back to the
+    three-dispatch path in :func:`run_extract`.
+    """
+
+    def __init__(self, detector, tracker_cfg: TrackerConfig):
+        import jax
+        import jax.numpy as jnp
+
+        from facerec_tpu.ops import scene as scene_ops
+
+        self.detector = detector
+        self.tracker_cfg = tracker_cfg
+
+        def step(det_vars, frames, scene_state, tracker_state, frame0):
+            flags, scene_state = scene_ops._detect_block_impl(
+                frames, scene_state)
+            det = detector._forward(det_vars, frames)
+            tracker_state, emit = run_block(
+                tracker_cfg, tracker_state, det.boxes, det.valid, flags,
+                frame0)
+            return flags, det, emit, scene_state, tracker_state
+
+        self._jitted = jax.jit(step)
+        self._jnp = jnp
+
+    def __call__(self, frames, scene_state, tracker_state, frame0: int):
+        return self._jitted(self.detector.variables, frames, scene_state,
+                            tracker_state, self._jnp.int32(frame0))
+
+
 class EmbedderBank:
     """All FaceNet checkpoints over one crop batch.
 
@@ -56,6 +92,8 @@ class EmbedderBank:
     """
 
     def __init__(self, embedders: Dict[str, "object"]):
+        import jax
+
         self.embedders = embedders
         # group same-dim checkpoints into one vmapped program each
         from facerec_tpu.models import StackedEmbedders
@@ -64,6 +102,10 @@ class EmbedderBank:
         for e in embedders.values():
             by_dim.setdefault(e.embedding_dim, []).append(e)
         self.groups = [StackedEmbedders(v) for v in by_dim.values()]
+        # ... and all groups as ONE dispatch (per-call latency through
+        # the device tunnel beats any same-program fusion concern)
+        self._embed_all = jax.jit(lambda stacks, crops: tuple(
+            g._embed(st, crops) for g, st in zip(self.groups, stacks)))
 
     @classmethod
     def create_default(cls, dtype=None) -> "EmbedderBank":
@@ -79,9 +121,12 @@ class EmbedderBank:
         })
 
     def __call__(self, crops) -> Dict[str, np.ndarray]:
+        import jax
+
+        outs = self._embed_all(tuple(g.stacked for g in self.groups),
+                               crops)
         out: Dict[str, np.ndarray] = {}
-        for group in self.groups:
-            stacked = np.asarray(group(crops))
+        for group, stacked in zip(self.groups, jax.device_get(outs)):
             for k, name in enumerate(group.names):
                 out[name] = stacked[k]
         # preserve checkpoint declaration order
@@ -251,9 +296,21 @@ def run_extract(
             faces_mod.embed_crop_box(tb, d_w, d_h) for tb in tight_boxes])
         frame_idx = np.array([stack_index(p.frame) for p in ready],
                              np.int32)
+        # pad the crop batch to a power of two (min 16) so the
+        # crop/embed programs compile for a bounded set of shapes
+        n_real = len(ready)
+        bucket = max(16, 1 << (n_real - 1).bit_length())
+        if bucket != n_real:
+            crop_boxes = np.concatenate(
+                [crop_boxes,
+                 np.tile(crop_boxes[-1:], (bucket - n_real, 1))])
+            frame_idx = np.concatenate(
+                [frame_idx,
+                 np.full(bucket - n_real, frame_idx[-1], np.int32)])
         crops = crop_resize(jnp.asarray(stack), jnp.asarray(frame_idx),
                             jnp.asarray(crop_boxes), FACE_IMAGE_SIZE)
-        all_embeddings = embedders(crops)
+        all_embeddings = {name: vecs[:n_real]
+                          for name, vecs in embedders(crops).items()}
 
         frames_seen = set()
         for i, p in enumerate(ready):
@@ -271,35 +328,41 @@ def run_extract(
             frames_seen.add(p.frame)
         counters.saved_frames += len(frames_seen)
 
+    import jax
+
+    fused = None
+    if hasattr(detector, "_forward") and hasattr(detector, "variables"):
+        fused = FusedBlockStep(detector, tracker_cfg)
+
     last_block_start = None
     blocks_done = 0
     for frame0, frames in reader.blocks(start_frame, end_overlap,
                                         cfg.block_frames):
         dev_frames = jnp.asarray(frames)
-        flags, scene_state = scene_ops.detect_block(dev_frames, scene_state)
+        if fused is not None:
+            flags, det, emit, scene_state, tracker_state = fused(
+                dev_frames, scene_state, tracker_state, frame0)
+        else:
+            flags, scene_state = scene_ops.detect_block(dev_frames,
+                                                        scene_state)
+            if hasattr(detector, "set_block_start"):
+                detector.set_block_start(frame0)
+            det = detector(dev_frames)
+            tracker_state, emit = run_block(
+                tracker_cfg, tracker_state, det.boxes, det.valid, flags,
+                jnp.int32(frame0))
 
-        if hasattr(detector, "set_block_start"):
-            detector.set_block_start(frame0)
-        det = detector(dev_frames)
-
-        tracker_state, emit = run_block(
-            tracker_cfg, tracker_state, det.boxes, det.valid, flags,
-            jnp.int32(frame0))
-
-        flags_np = np.asarray(flags)
+        # one host fetch for everything the block loop consumes
+        flags_np, emit_host, det_valid, landmarks = jax.device_get(
+            (flags, emit, det.valid, det.landmarks))
+        det_slot, slot_uid, slot_box = (emit_host.det_slot,
+                                        emit_host.uid, emit_host.box)
         scene_changes.extend(
             (frame0 + np.nonzero(flags_np)[0]).tolist())
 
-        for rec in assembler.feed(emit, frame0):
+        for rec in assembler.feed(emit_host, frame0):
             records.write_trajectory(traj_file, rec)
             counters.saved_trajectories += 1
-
-        # queue this block's faces for deferred validity
-        det_slot = np.asarray(emit.det_slot)
-        slot_uid = np.asarray(emit.uid)
-        slot_box = np.asarray(emit.box)
-        det_valid = np.asarray(det.valid)
-        landmarks = np.asarray(det.landmarks)
         for i in range(len(frames)):
             for d in range(det_slot.shape[1]):
                 if not det_valid[i, d]:

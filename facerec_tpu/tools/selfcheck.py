@@ -1,0 +1,180 @@
+"""End-to-end self-check: train → extract → merge → cluster → score.
+
+Trains the single-stage detector from scratch on synthetic face frames
+(the same generator the tests use), deploys the trained weights through
+the real extract CLI path on a fresh synthetic film, and scores the
+pipeline's output against the clip's ground truth — detection
+precision/recall at IoU 0.5, scene-cut exactness, trajectory counts.
+
+This is the framework's built-in integration probe: it exercises the
+trainer, weight save/load, the fused extract block step, trajectory
+assembly, shard merge and clustering in one command, with no external
+data or checkpoints.  The reference has no analogue (its quality
+control is manual; SURVEY.md §4).
+
+Usage:
+    python -m facerec_tpu.tools.selfcheck --out /tmp/selfcheck \
+        --train-steps 200
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def synth_batch(rng: np.random.Generator, batch: int, width: int,
+                height: int, max_faces: int = 3):
+    """Random frames of bright face rectangles over noise backgrounds,
+    with padded ground-truth boxes and 5-point landmarks (same layout
+    as facerec_tpu.video.synth)."""
+    from facerec_tpu.video.synth import _landmarks_for
+
+    frames = rng.integers(20, 90, (batch, height, width, 3)).astype(np.uint8)
+    boxes = np.zeros((batch, max_faces, 4), np.float32)
+    valid = np.zeros((batch, max_faces), bool)
+    ldm = np.zeros((batch, max_faces, 5, 2), np.float32)
+    for i in range(batch):
+        for j in range(int(rng.integers(1, max_faces + 1))):
+            w = rng.uniform(24, 64)
+            h = w * rng.uniform(1.1, 1.3)
+            x = rng.uniform(2, width - w - 2)
+            y = rng.uniform(2, height - h - 2)
+            box = np.array([x, y, x + w, y + h], np.float32)
+            xi, yi, x2i, y2i = [int(round(c)) for c in box]
+            frames[i, yi:y2i, xi:x2i] = int(rng.integers(170, 240))
+            boxes[i, j] = box
+            valid[i, j] = True
+            ldm[i, j] = _landmarks_for(box)
+    return frames, boxes, valid, ldm
+
+
+def train_detector(steps: int, batch: int, input_size, seed: int = 0,
+                   log_every: int = 50):
+    """Train FaceDetector from scratch on synthetic frames; returns
+    (variables, losses)."""
+    import jax.numpy as jnp
+
+    from facerec_tpu.models.detector import FaceDetector
+    from facerec_tpu.train import DetectorTrainer
+
+    rng = np.random.default_rng(seed)
+    trainer = DetectorTrainer(FaceDetector(), input_size=input_size,
+                              learning_rate=1e-3)
+    params, opt_state = trainer.init()
+    losses = []
+    h, w = input_size
+    for s in range(steps):
+        frames, boxes, valid, ldm = synth_batch(rng, batch, w, h)
+        params, opt_state, loss = trainer.step(
+            params, opt_state, jnp.asarray(frames), jnp.asarray(boxes),
+            jnp.asarray(valid), jnp.asarray(ldm))
+        if s % log_every == 0 or s == steps - 1:
+            losses.append(float(loss))
+            print(f"step {s}: loss {losses[-1]:.3f}", flush=True)
+    return params, losses
+
+
+def score_detections(data_dir: str, truth, iou_thr: float = 0.5):
+    """Match features.jsonl boxes against per-frame ground truth."""
+    def iou(a, b):
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = ix * iy
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / ua if ua > 0 else 0.0
+
+    n_pred = n_match = n_truth_on_saved_frames = 0
+    frames_seen = set()
+    with open(os.path.join(data_dir, "features.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            n_pred += 1
+            frames_seen.add(rec["frame"])
+            best = max((iou(rec["box"], t[0])
+                        for t in truth.get(rec["frame"], [])), default=0.0)
+            n_match += int(best >= iou_thr)
+    for fr in frames_seen:
+        n_truth_on_saved_frames += len(truth.get(fr, []))
+    precision = n_match / n_pred if n_pred else 0.0
+    recall = (n_match / n_truth_on_saved_frames
+              if n_truth_on_saved_frames else 0.0)
+    return {"n_pred": n_pred, "n_matched": n_match,
+            "precision": round(precision, 3), "recall": round(recall, 3)}
+
+
+def main(argv=None):
+    from facerec_tpu.runtime import ensure_platform
+
+    ensure_platform()
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--out", type=str, default="./selfcheck")
+    parser.add_argument("--train-steps", type=int, default=200)
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--film-frames", type=int, default=240)
+    parser.add_argument("--face-threshold", type=float, default=0.9)
+    parser.add_argument("--detector-size", type=int, default=512)
+    args = parser.parse_args(argv)
+
+    from facerec_tpu.config import ExtractConfig
+    from facerec_tpu.models import DetectorHarness
+    from facerec_tpu.models.detector import FaceDetector
+    from facerec_tpu.models.weights import load_params, save_params
+    from facerec_tpu.pipeline import cluster as cluster_mod
+    from facerec_tpu.pipeline import merge as merge_mod
+    from facerec_tpu.pipeline.extract import run_extract
+    from facerec_tpu.video.synth import make_clip
+
+    os.makedirs(args.out, exist_ok=True)
+    size = (args.detector_size, args.detector_size)
+
+    t0 = time.time()
+    print("=== training detector on synthetic faces ===", flush=True)
+    params, losses = train_detector(args.train_steps, args.batch, size)
+    weights_path = os.path.join(args.out, "detector.npz")
+    save_params(weights_path, params)
+    print(f"trained in {time.time() - t0:.0f}s; weights → {weights_path}",
+          flush=True)
+
+    print("=== running pipeline with trained detector ===", flush=True)
+    clip = make_clip(os.path.join(args.out, "777-Selfcheck_Film.mp4"),
+                     n_frames=args.film_frames, width=768, height=576,
+                     cuts=(args.film_frames // 3,
+                           2 * args.film_frames // 3), n_faces=2)
+    detector = DetectorHarness(
+        model=FaceDetector(), variables=load_params(weights_path, params),
+        input_size=size, max_detections=16,
+        score_threshold=args.face_threshold, min_face_size=20)
+    data_root = os.path.join(args.out, "data")
+    counters = run_extract(
+        clip.path,
+        ExtractConfig(face_threshold=args.face_threshold, resume=False),
+        data_root, detector=detector)
+    merge_mod.main(["--path", os.path.join(data_root, "*-data"),
+                    "--min-face-size", "20"])
+    cluster_mod.main(["--path", os.path.join(data_root, "*-data")])
+
+    data_dir = os.path.join(data_root, "777-data")
+    report = {
+        "train_loss_first": losses[0], "train_loss_last": losses[-1],
+        "saved_boxes": counters.saved_boxes,
+        "saved_trajectories": counters.saved_trajectories,
+        "detection": score_detections(data_dir, clip.truth),
+        "scene_cuts_found": json.load(
+            open(os.path.join(data_dir, "scene_changes.json"))
+        )["frame_indices"],
+        "scene_cuts_truth": clip.scene_cuts,
+        "wall_s": round(time.time() - t0, 1),
+    }
+    with open(os.path.join(args.out, "selfcheck.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

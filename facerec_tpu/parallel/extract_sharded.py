@@ -72,8 +72,14 @@ def _scene_flags_with_halo(frames, frame0, crop: bool):
     sdmafd_eq = mafd_eq_ext[1:] - mafd_eq_ext[:-1]
     adfv_eq = jnp.abs(fv_ext[1:] - fv_ext[:-1])
 
+    # Device 0 has no left neighbour: its first two local frames carry
+    # garbage halo statistics and must warm up locally — the same
+    # 2-frame warm-up every reference shard pays (scene.py:111-136).
+    # For the film's first block that coincides with global_idx >= 2.
     global_idx = frame0 + jnp.arange(l, dtype=jnp.int32)
-    valid = global_idx >= 2
+    local_idx = jnp.arange(l, dtype=jnp.int32)
+    dev = jax.lax.axis_index(FRAME_AXIS)
+    valid = (global_idx >= 2) & ((dev > 0) | (local_idx >= 2))
     return scene_ops.decide(mafd, mafd_eq, sdmafd_eq, adfv_eq) & valid
 
 

@@ -76,3 +76,19 @@ def test_sharded_detections_match_serial(mesh, rng):
                                   np.asarray(serial.valid))
     np.testing.assert_allclose(np.asarray(out.detections.boxes),
                                np.asarray(serial.boxes))
+
+
+def test_sharded_scene_mid_film_warmup(mesh, rng):
+    """With block_frame0 > 0 device 0 has no left halo; its first two
+    local frames must warm up (stay False) exactly like a fresh serial
+    shard — not flag on garbage statistics."""
+    frames = make_clip(rng, n=32, h=48, w=64, n_cuts=4)
+    serial, _ = scene_ops.detect_block(
+        jnp.asarray(frames), scene_ops.initial_state(48, 64))
+
+    out = sharded_extract_step(
+        mesh, BrightBoxDetector(), TrackerConfig(max_tracks=4,
+                                                 max_detections=4),
+        jnp.asarray(frames), block_frame0=1000)
+    np.testing.assert_array_equal(np.asarray(out.flags),
+                                  np.asarray(serial))

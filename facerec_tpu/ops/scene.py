@@ -137,9 +137,9 @@ def _detect_block_impl(
     lo, hi = crop_bounds(height, width, crop)
 
     if grayscale:
-        y = frames[..., 0].astype(jnp.float32)[:, lo:hi, :]
+        y = frames[:, lo:hi, :, 0].astype(jnp.float32)
     else:
-        y = luminance(frames)[:, lo:hi, :]
+        y = luminance(frames[:, lo:hi])   # crop first: 1/3 less traffic
     eq = equalize(y)
 
     # Stack the carried last frame in front: diffs are then aligned so that

@@ -79,6 +79,37 @@ def predict(state: KalmanState) -> KalmanState:
     return KalmanState(x, p)
 
 
+def _inv2(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 2×2 inverse."""
+    a, b = m[..., 0, 0], m[..., 0, 1]
+    c, d = m[..., 1, 0], m[..., 1, 1]
+    det = a * d - b * c
+    adj = jnp.stack([jnp.stack([d, -b], -1),
+                     jnp.stack([-c, a], -1)], -2)
+    return adj / det[..., None, None]
+
+
+def inv4(s: jnp.ndarray) -> jnp.ndarray:
+    """Batched 4×4 inverse via 2×2 block Schur complement.
+
+    ``jnp.linalg.inv``'s LU lowering costs ~80 µs per tracker-scan step
+    on TPU; for the well-conditioned innovation covariance S = P₄₄ + R
+    the closed form is ~2× cheaper and elementwise-only.
+    """
+    a = s[..., :2, :2]
+    b = s[..., :2, 2:]
+    c = s[..., 2:, :2]
+    d = s[..., 2:, 2:]
+    ai = _inv2(a)
+    aib = ai @ b
+    si = _inv2(d - c @ aib)
+    tl = ai + aib @ si @ (c @ ai)
+    tr = -aib @ si
+    bl = -si @ (c @ ai)
+    return jnp.concatenate([jnp.concatenate([tl, tr], -1),
+                            jnp.concatenate([bl, si], -1)], -2)
+
+
 def update(state: KalmanState, z: jnp.ndarray,
            mask: jnp.ndarray) -> KalmanState:
     """Measurement update for tracks where ``mask`` is True.
@@ -95,7 +126,7 @@ def update(state: KalmanState, z: jnp.ndarray,
 
     y = z - jnp.einsum("ij,tj->ti", h, x)                       # innovation
     s = jnp.einsum("ij,tjk,lk->til", h, p, h) + r               # (T,4,4)
-    k = jnp.einsum("tij,kj,tkl->til", p, h, jnp.linalg.inv(s))  # (T,8,4)
+    k = jnp.einsum("tij,kj,tkl->til", p, h, inv4(s))            # (T,8,4)
 
     x_post = x + jnp.einsum("tij,tj->ti", k, y)
     ikh = eye - jnp.einsum("tij,jk->tik", k, h)

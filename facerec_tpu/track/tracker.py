@@ -150,8 +150,11 @@ def step(
     will_spawn = unmatched & (spawn_rank < n_free)
     overflow = jnp.sum((unmatched & ~will_spawn).astype(jnp.int32))
 
-    # r-th free slot index, in slot order
-    free_order = jnp.argsort(jnp.where(free, arange_t, t))
+    # r-th free slot index, in slot order: scatter free slot ids into
+    # compact rank positions (cheaper than argsort inside the scan)
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    free_order = jnp.full((t,), t, jnp.int32).at[
+        jnp.where(free, free_rank, t)].set(arange_t, mode="drop")
     slot_for_det = free_order[jnp.clip(spawn_rank, 0, t - 1)].astype(jnp.int32)
     spawn_scatter = jnp.where(will_spawn, slot_for_det, t)
     spawn_det = jnp.full((t,), -1, jnp.int32).at[spawn_scatter].set(

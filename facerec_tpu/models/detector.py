@@ -37,13 +37,15 @@ class ResBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         d = self.dtype
-        y = ConvBN(self.features, 3, self.stride, dtype=d, name="conv1")(x)
-        y = ConvBN(self.features, 3, 1, act=False, dtype=d, name="conv2")(y)
+        y = ConvBN(self.features, 3, self.stride, dtype=d,
+                   name="conv1")(x, train)
+        y = ConvBN(self.features, 3, 1, act=False, dtype=d,
+                   name="conv2")(y, train)
         if self.stride != 1 or x.shape[-1] != self.features:
             x = ConvBN(self.features, 1, self.stride, act=False, dtype=d,
-                       name="proj")(x)
+                       name="proj")(x, train)
         return nn.relu(x + y)
 
 
@@ -55,15 +57,15 @@ class SSH(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         d = self.dtype
         half = self.features // 2
         quarter = self.features // 4
-        c3 = ConvBN(half, 3, act=False, dtype=d, name="conv3")(x)
-        c5a = ConvBN(quarter, 3, dtype=d, name="conv5a")(x)
-        c5 = ConvBN(quarter, 3, act=False, dtype=d, name="conv5")(c5a)
-        c7a = ConvBN(quarter, 3, dtype=d, name="conv7a")(c5a)
-        c7 = ConvBN(quarter, 3, act=False, dtype=d, name="conv7")(c7a)
+        c3 = ConvBN(half, 3, act=False, dtype=d, name="conv3")(x, train)
+        c5a = ConvBN(quarter, 3, dtype=d, name="conv5a")(x, train)
+        c5 = ConvBN(quarter, 3, act=False, dtype=d, name="conv5")(c5a, train)
+        c7a = ConvBN(quarter, 3, dtype=d, name="conv7a")(c5a, train)
+        c7 = ConvBN(quarter, 3, act=False, dtype=d, name="conv7")(c7a, train)
         return nn.relu(jnp.concatenate([c3, c5, c7], axis=-1))
 
 
@@ -96,32 +98,32 @@ class FaceDetector(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x) -> List[Dict[str, jnp.ndarray]]:
+    def __call__(self, x, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
         d = self.dtype
         x = x.astype(d)
         # Backbone to strides 8/16/32 (input stride 4 via space-to-depth)
         x = space_to_depth(x, 4)
-        x = ConvBN(96, 3, 1, dtype=d, name="stem")(x)
-        x = ResBlock(96, 2, dtype=d, name="c3_1")(x)
-        c3 = ResBlock(96, 1, dtype=d, name="c3_2")(x)
-        x = ResBlock(192, 2, dtype=d, name="c4_1")(c3)
-        c4 = ResBlock(192, 1, dtype=d, name="c4_2")(x)
-        x = ResBlock(384, 2, dtype=d, name="c5_1")(c4)
-        c5 = ResBlock(384, 1, dtype=d, name="c5_2")(x)
+        x = ConvBN(96, 3, 1, dtype=d, name="stem")(x, train)
+        x = ResBlock(96, 2, dtype=d, name="c3_1")(x, train)
+        c3 = ResBlock(96, 1, dtype=d, name="c3_2")(x, train)
+        x = ResBlock(192, 2, dtype=d, name="c4_1")(c3, train)
+        c4 = ResBlock(192, 1, dtype=d, name="c4_2")(x, train)
+        x = ResBlock(384, 2, dtype=d, name="c5_1")(c4, train)
+        c5 = ResBlock(384, 1, dtype=d, name="c5_2")(x, train)
 
         # FPN top-down
         f = self.fpn_features
-        p5 = ConvBN(f, 1, act=False, dtype=d, name="lat5")(c5)
-        p4 = ConvBN(f, 1, act=False, dtype=d, name="lat4")(c4)
-        p3 = ConvBN(f, 1, act=False, dtype=d, name="lat3")(c3)
+        p5 = ConvBN(f, 1, act=False, dtype=d, name="lat5")(c5, train)
+        p4 = ConvBN(f, 1, act=False, dtype=d, name="lat4")(c4, train)
+        p3 = ConvBN(f, 1, act=False, dtype=d, name="lat3")(c3, train)
         p4 = p4 + jax.image.resize(p5, p4.shape, "nearest")
         p3 = p3 + jax.image.resize(p4, p3.shape, "nearest")
-        p4 = ConvBN(f, 3, dtype=d, name="smooth4")(p4)
-        p3 = ConvBN(f, 3, dtype=d, name="smooth3")(p3)
+        p4 = ConvBN(f, 3, dtype=d, name="smooth4")(p4, train)
+        p3 = ConvBN(f, 3, dtype=d, name="smooth3")(p3, train)
 
         outs = []
         for i, p in enumerate((p3, p4, p5)):
-            feat = SSH(f, dtype=d, name=f"ssh{i}")(p)
+            feat = SSH(f, dtype=d, name=f"ssh{i}")(p, train)
             a = self.num_anchors
             score = nn.Conv(a, (1, 1), dtype=d, name=f"head_score{i}")(feat)
             box = nn.Conv(4 * a, (1, 1), dtype=d, name=f"head_box{i}")(feat)

@@ -30,14 +30,14 @@ class Block35(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         d = self.dtype
-        b0 = ConvBN(32, 1, dtype=d, name="Branch_0_Conv2d_1x1")(x)
-        b1 = ConvBN(32, 1, dtype=d, name="Branch_1_Conv2d_0a_1x1")(x)
-        b1 = ConvBN(32, 3, dtype=d, name="Branch_1_Conv2d_0b_3x3")(b1)
-        b2 = ConvBN(32, 1, dtype=d, name="Branch_2_Conv2d_0a_1x1")(x)
-        b2 = ConvBN(32, 3, dtype=d, name="Branch_2_Conv2d_0b_3x3")(b2)
-        b2 = ConvBN(32, 3, dtype=d, name="Branch_2_Conv2d_0c_3x3")(b2)
+        b0 = ConvBN(32, 1, dtype=d, name="Branch_0_Conv2d_1x1")(x, train)
+        b1 = ConvBN(32, 1, dtype=d, name="Branch_1_Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(32, 3, dtype=d, name="Branch_1_Conv2d_0b_3x3")(b1, train)
+        b2 = ConvBN(32, 1, dtype=d, name="Branch_2_Conv2d_0a_1x1")(x, train)
+        b2 = ConvBN(32, 3, dtype=d, name="Branch_2_Conv2d_0b_3x3")(b2, train)
+        b2 = ConvBN(32, 3, dtype=d, name="Branch_2_Conv2d_0c_3x3")(b2, train)
         mixed = jnp.concatenate([b0, b1, b2], axis=-1)
         up = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=d,
                      name="Conv2d_1x1")(mixed)
@@ -51,12 +51,12 @@ class Block17(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         d = self.dtype
-        b0 = ConvBN(128, 1, dtype=d, name="Branch_0_Conv2d_1x1")(x)
-        b1 = ConvBN(128, 1, dtype=d, name="Branch_1_Conv2d_0a_1x1")(x)
-        b1 = ConvBN(128, (1, 7), dtype=d, name="Branch_1_Conv2d_0b_1x7")(b1)
-        b1 = ConvBN(128, (7, 1), dtype=d, name="Branch_1_Conv2d_0c_7x1")(b1)
+        b0 = ConvBN(128, 1, dtype=d, name="Branch_0_Conv2d_1x1")(x, train)
+        b1 = ConvBN(128, 1, dtype=d, name="Branch_1_Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(128, (1, 7), dtype=d, name="Branch_1_Conv2d_0b_1x7")(b1, train)
+        b1 = ConvBN(128, (7, 1), dtype=d, name="Branch_1_Conv2d_0c_7x1")(b1, train)
         mixed = jnp.concatenate([b0, b1], axis=-1)
         up = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=d,
                      name="Conv2d_1x1")(mixed)
@@ -71,12 +71,12 @@ class Block8(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         d = self.dtype
-        b0 = ConvBN(192, 1, dtype=d, name="Branch_0_Conv2d_1x1")(x)
-        b1 = ConvBN(192, 1, dtype=d, name="Branch_1_Conv2d_0a_1x1")(x)
-        b1 = ConvBN(192, (1, 3), dtype=d, name="Branch_1_Conv2d_0b_1x3")(b1)
-        b1 = ConvBN(192, (3, 1), dtype=d, name="Branch_1_Conv2d_0c_3x1")(b1)
+        b0 = ConvBN(192, 1, dtype=d, name="Branch_0_Conv2d_1x1")(x, train)
+        b1 = ConvBN(192, 1, dtype=d, name="Branch_1_Conv2d_0a_1x1")(x, train)
+        b1 = ConvBN(192, (1, 3), dtype=d, name="Branch_1_Conv2d_0b_1x3")(b1, train)
+        b1 = ConvBN(192, (3, 1), dtype=d, name="Branch_1_Conv2d_0c_3x1")(b1, train)
         mixed = jnp.concatenate([b0, b1], axis=-1)
         up = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=d,
                      name="Conv2d_1x1")(mixed)
@@ -91,63 +91,63 @@ class FaceNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         d = self.dtype
         x = x.astype(d)
         # Stem (VALID paddings per the TF graph)
-        x = ConvBN(32, 3, 2, "VALID", dtype=d, name="Conv2d_1a_3x3")(x)
-        x = ConvBN(32, 3, 1, "VALID", dtype=d, name="Conv2d_2a_3x3")(x)
-        x = ConvBN(64, 3, 1, "SAME", dtype=d, name="Conv2d_2b_3x3")(x)
+        x = ConvBN(32, 3, 2, "VALID", dtype=d, name="Conv2d_1a_3x3")(x, train)
+        x = ConvBN(32, 3, 1, "VALID", dtype=d, name="Conv2d_2a_3x3")(x, train)
+        x = ConvBN(64, 3, 1, "SAME", dtype=d, name="Conv2d_2b_3x3")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
-        x = ConvBN(80, 1, 1, "VALID", dtype=d, name="Conv2d_3b_1x1")(x)
-        x = ConvBN(192, 3, 1, "VALID", dtype=d, name="Conv2d_4a_3x3")(x)
-        x = ConvBN(256, 3, 2, "VALID", dtype=d, name="Conv2d_4b_3x3")(x)
+        x = ConvBN(80, 1, 1, "VALID", dtype=d, name="Conv2d_3b_1x1")(x, train)
+        x = ConvBN(192, 3, 1, "VALID", dtype=d, name="Conv2d_4a_3x3")(x, train)
+        x = ConvBN(256, 3, 2, "VALID", dtype=d, name="Conv2d_4b_3x3")(x, train)
 
         for i in range(5):
-            x = Block35(dtype=d, name=f"Repeat_block35_{i + 1}")(x)
+            x = Block35(dtype=d, name=f"Repeat_block35_{i + 1}")(x, train)
 
         # Reduction-A → 896ch
         b0 = ConvBN(384, 3, 2, "VALID", dtype=d,
-                    name="Mixed_6a_Branch_0_Conv2d_1a_3x3")(x)
+                    name="Mixed_6a_Branch_0_Conv2d_1a_3x3")(x, train)
         b1 = ConvBN(192, 1, 1, "SAME", dtype=d,
-                    name="Mixed_6a_Branch_1_Conv2d_0a_1x1")(x)
+                    name="Mixed_6a_Branch_1_Conv2d_0a_1x1")(x, train)
         b1 = ConvBN(192, 3, 1, "SAME", dtype=d,
-                    name="Mixed_6a_Branch_1_Conv2d_0b_3x3")(b1)
+                    name="Mixed_6a_Branch_1_Conv2d_0b_3x3")(b1, train)
         b1 = ConvBN(256, 3, 2, "VALID", dtype=d,
-                    name="Mixed_6a_Branch_1_Conv2d_1a_3x3")(b1)
+                    name="Mixed_6a_Branch_1_Conv2d_1a_3x3")(b1, train)
         b2 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         x = jnp.concatenate([b0, b1, b2], axis=-1)
 
         for i in range(10):
-            x = Block17(dtype=d, name=f"Repeat_1_block17_{i + 1}")(x)
+            x = Block17(dtype=d, name=f"Repeat_1_block17_{i + 1}")(x, train)
 
         # Reduction-B → 1792ch
         b0 = ConvBN(256, 1, 1, "SAME", dtype=d,
-                    name="Mixed_7a_Branch_0_Conv2d_0a_1x1")(x)
+                    name="Mixed_7a_Branch_0_Conv2d_0a_1x1")(x, train)
         b0 = ConvBN(384, 3, 2, "VALID", dtype=d,
-                    name="Mixed_7a_Branch_0_Conv2d_1a_3x3")(b0)
+                    name="Mixed_7a_Branch_0_Conv2d_1a_3x3")(b0, train)
         b1 = ConvBN(256, 1, 1, "SAME", dtype=d,
-                    name="Mixed_7a_Branch_1_Conv2d_0a_1x1")(x)
+                    name="Mixed_7a_Branch_1_Conv2d_0a_1x1")(x, train)
         b1 = ConvBN(256, 3, 2, "VALID", dtype=d,
-                    name="Mixed_7a_Branch_1_Conv2d_1a_3x3")(b1)
+                    name="Mixed_7a_Branch_1_Conv2d_1a_3x3")(b1, train)
         b2 = ConvBN(256, 1, 1, "SAME", dtype=d,
-                    name="Mixed_7a_Branch_2_Conv2d_0a_1x1")(x)
+                    name="Mixed_7a_Branch_2_Conv2d_0a_1x1")(x, train)
         b2 = ConvBN(256, 3, 1, "SAME", dtype=d,
-                    name="Mixed_7a_Branch_2_Conv2d_0b_3x3")(b2)
+                    name="Mixed_7a_Branch_2_Conv2d_0b_3x3")(b2, train)
         b2 = ConvBN(256, 3, 2, "VALID", dtype=d,
-                    name="Mixed_7a_Branch_2_Conv2d_1a_3x3")(b2)
+                    name="Mixed_7a_Branch_2_Conv2d_1a_3x3")(b2, train)
         b3 = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         x = jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
         for i in range(5):
-            x = Block8(dtype=d, name=f"Repeat_2_block8_{i + 1}")(x)
-        x = Block8(scale=1.0, act=False, dtype=d, name="Block8")(x)
+            x = Block8(dtype=d, name=f"Repeat_2_block8_{i + 1}")(x, train)
+        x = Block8(scale=1.0, act=False, dtype=d, name="Block8")(x, train)
 
         # Global average pool + bottleneck (dense, no bias, then BN)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.embedding_dim, use_bias=False, dtype=d,
                      name="Bottleneck")(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3,
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
                          use_scale=False, dtype=d,
                          name="Bottleneck_BatchNorm")(x)
         return x.astype(jnp.float32)

@@ -26,60 +26,53 @@ import time
 import numpy as np
 
 
-def synth_batch(rng: np.random.Generator, batch: int, width: int,
-                height: int, max_faces: int = 3):
-    """Random frames of bright face rectangles over noise backgrounds,
-    with padded ground-truth boxes and 5-point landmarks (same layout
-    as facerec_tpu.video.synth)."""
-    from facerec_tpu.video.synth import _landmarks_for
+def train_detector(steps: int, batch: int, input_size, deploy_hw,
+                   face_size, seed: int = 0, log_every: int = 50):
+    """Train FaceDetector from scratch on synthetic frames drawn in the
+    DEPLOYED letterbox geometry.
 
-    frames = rng.integers(20, 90, (batch, height, width, 3)).astype(np.uint8)
-    boxes = np.zeros((batch, max_faces, 4), np.float32)
-    valid = np.zeros((batch, max_faces), bool)
-    ldm = np.zeros((batch, max_faces, 5, 2), np.float32)
-    for i in range(batch):
-        for j in range(int(rng.integers(1, max_faces + 1))):
-            w = rng.uniform(24, 64)
-            h = w * rng.uniform(1.1, 1.3)
-            x = rng.uniform(2, width - w - 2)
-            y = rng.uniform(2, height - h - 2)
-            box = np.array([x, y, x + w, y + h], np.float32)
-            xi, yi, x2i, y2i = [int(round(c)) for c in box]
-            frames[i, yi:y2i, xi:x2i] = int(rng.integers(170, 240))
-            boxes[i, j] = box
-            valid[i, j] = True
-            ldm[i, j] = _landmarks_for(box)
-    return frames, boxes, valid, ldm
+    At inference the harness scales a (H, W) film frame by
+    ``min(ih/H, iw/W)`` and zero-pads to ``input_size``; training frames
+    are painted directly onto that scaled content area (with the film's
+    face sizes scaled the same way) so the train and deploy
+    distributions match.
 
-
-def train_detector(steps: int, batch: int, input_size, seed: int = 0,
-                   log_every: int = 50):
-    """Train FaceDetector from scratch on synthetic frames; returns
-    (variables, losses)."""
+    Returns (variables, losses).
+    """
     import jax.numpy as jnp
 
     from facerec_tpu.models.detector import FaceDetector
     from facerec_tpu.train import DetectorTrainer
+    from facerec_tpu.video.synth import synth_batch
 
     rng = np.random.default_rng(seed)
     trainer = DetectorTrainer(FaceDetector(), input_size=input_size,
                               learning_rate=1e-3)
-    params, opt_state = trainer.init()
+    variables, opt_state = trainer.init()
     losses = []
-    h, w = input_size
+    ih, iw = input_size
+    dh, dw = deploy_hw
+    scale = min(ih / dh, iw / dw)
+    ch, cw = int(round(dh * scale)), int(round(dw * scale))
+    scaled_faces = (face_size[0] * scale, face_size[1] * scale)
     for s in range(steps):
-        frames, boxes, valid, ldm = synth_batch(rng, batch, w, h)
-        params, opt_state, loss = trainer.step(
-            params, opt_state, jnp.asarray(frames), jnp.asarray(boxes),
+        frames, boxes, valid, ldm = synth_batch(
+            rng, batch, cw, ch, face_size=scaled_faces)
+        frames = np.pad(frames, ((0, 0), (0, ih - ch), (0, iw - cw),
+                                 (0, 0)))
+        variables, opt_state, loss = trainer.step(
+            variables, opt_state, jnp.asarray(frames), jnp.asarray(boxes),
             jnp.asarray(valid), jnp.asarray(ldm))
         if s % log_every == 0 or s == steps - 1:
             losses.append(float(loss))
             print(f"step {s}: loss {losses[-1]:.3f}", flush=True)
-    return params, losses
+    return variables, losses
 
 
 def score_detections(data_dir: str, truth, iou_thr: float = 0.5):
-    """Match features.jsonl boxes against per-frame ground truth."""
+    """One-to-one greedy matching of features.jsonl boxes against the
+    per-frame ground truth: each truth box is consumed by at most one
+    prediction, so duplicate detections count against precision."""
     def iou(a, b):
         ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
         iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
@@ -88,21 +81,29 @@ def score_detections(data_dir: str, truth, iou_thr: float = 0.5):
               + (b[2] - b[0]) * (b[3] - b[1]) - inter)
         return inter / ua if ua > 0 else 0.0
 
-    n_pred = n_match = n_truth_on_saved_frames = 0
-    frames_seen = set()
+    preds_by_frame = {}
     with open(os.path.join(data_dir, "features.jsonl")) as f:
         for line in f:
             rec = json.loads(line)
-            n_pred += 1
-            frames_seen.add(rec["frame"])
-            best = max((iou(rec["box"], t[0])
-                        for t in truth.get(rec["frame"], [])), default=0.0)
-            n_match += int(best >= iou_thr)
-    for fr in frames_seen:
-        n_truth_on_saved_frames += len(truth.get(fr, []))
+            preds_by_frame.setdefault(rec["frame"], []).append(rec["box"])
+
+    n_pred = n_match = n_truth = 0
+    for fr, preds in preds_by_frame.items():
+        gts = [t[0] for t in truth.get(fr, [])]
+        used = [False] * len(gts)
+        n_pred += len(preds)
+        n_truth += len(gts)
+        for p in preds:
+            cand = [(iou(p, g), k) for k, g in enumerate(gts)
+                    if not used[k]]
+            if not cand:
+                continue
+            best, k = max(cand)
+            if best >= iou_thr:
+                used[k] = True
+                n_match += 1
     precision = n_match / n_pred if n_pred else 0.0
-    recall = (n_match / n_truth_on_saved_frames
-              if n_truth_on_saved_frames else 0.0)
+    recall = n_match / n_truth if n_truth else 0.0
     return {"n_pred": n_pred, "n_matched": n_match,
             "precision": round(precision, 3), "recall": round(recall, 3)}
 
@@ -132,10 +133,14 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     size = (args.detector_size, args.detector_size)
+    film_hw = (576, 768)
+    film_faces = (28.0, 44.0)   # make_clip's face-width range
 
     t0 = time.time()
     print("=== training detector on synthetic faces ===", flush=True)
-    params, losses = train_detector(args.train_steps, args.batch, size)
+    params, losses = train_detector(args.train_steps, args.batch, size,
+                                    deploy_hw=film_hw,
+                                    face_size=film_faces)
     weights_path = os.path.join(args.out, "detector.npz")
     save_params(weights_path, params)
     print(f"trained in {time.time() - t0:.0f}s; weights → {weights_path}",

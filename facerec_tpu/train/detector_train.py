@@ -140,22 +140,29 @@ class DetectorTrainer:
         self.tx = optax.adam(self.learning_rate)
         self.anchors = jnp.asarray(anchor_centers(self.input_size))
 
-        def loss_fn(params, images, gt_boxes, gt_valid, gt_landmarks):
+        def loss_fn(params, batch_stats, images, gt_boxes, gt_valid,
+                    gt_landmarks):
             x = (images.astype(jnp.float32) - 127.5) / 128.0
-            raw = self.model.apply(params, x)
+            raw, mutated = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, mutable=["batch_stats"])
             targets = jax.vmap(
                 lambda b, v, l: anchor_targets(self.anchors, b, v, l)
             )(gt_boxes, gt_valid, gt_landmarks)
             loss, _ = detector_loss(raw, targets)
-            return loss
+            return loss, mutated["batch_stats"]
 
-        def step(params, opt_state, images, gt_boxes, gt_valid,
+        def step(variables, opt_state, images, gt_boxes, gt_valid,
                  gt_landmarks):
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, images, gt_boxes, gt_valid, gt_landmarks)
+            params = variables["params"]
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, variables["batch_stats"],
+                                       images, gt_boxes, gt_valid,
+                                       gt_landmarks)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return ({"params": params, "batch_stats": new_stats},
+                    opt_state, loss)
 
         if self.mesh is not None:
             batch_sharding = NamedSharding(self.mesh, P(FRAME_AXIS))
@@ -170,12 +177,16 @@ class DetectorTrainer:
             self._step = jax.jit(step)
 
     def init(self, rng_seed: int = 0):
-        params = self.model.init(
+        """Returns (variables, opt_state); ``variables`` carries both
+        the trained params and the BN running statistics and plugs
+        straight into :class:`~facerec_tpu.models.DetectorHarness`."""
+        variables = self.model.init(
             jax.random.PRNGKey(rng_seed),
             jnp.zeros((1, *self.input_size, 3), jnp.float32))
-        return params, self.tx.init(params)
+        variables = dict(variables)
+        return variables, self.tx.init(variables["params"])
 
-    def step(self, params, opt_state, images, gt_boxes, gt_valid,
+    def step(self, variables, opt_state, images, gt_boxes, gt_valid,
              gt_landmarks):
-        return self._step(params, opt_state, images, gt_boxes, gt_valid,
-                          gt_landmarks)
+        return self._step(variables, opt_state, images, gt_boxes,
+                          gt_valid, gt_landmarks)

@@ -52,8 +52,12 @@ def semi_hard_triplet_loss(embeddings: jnp.ndarray, labels: jnp.ndarray,
     chosen_neg = jnp.where(semi_neg < big / 2, semi_neg, easiest)
 
     losses = jnp.maximum(d2 + margin - chosen_neg, 0.0)
-    losses = jnp.where(pos_mask, losses, 0.0)
-    n_pos = jnp.maximum(pos_mask.sum(), 1)
+    # anchors with no negative at all (single-identity batch) carry no
+    # triplet — without this mask `easiest` is a -1e9 sentinel and one
+    # such batch would blow up the optimizer state
+    has_neg = neg_mask.any(axis=1)              # (a,)
+    losses = jnp.where(pos_mask & has_neg[:, None], losses, 0.0)
+    n_pos = jnp.maximum((pos_mask & has_neg[:, None]).sum(), 1)
     return losses.sum() / n_pos
 
 
@@ -72,18 +76,24 @@ class FaceNetTrainer:
                              dtype=self.dtype)
         self.tx = optax.adam(self.learning_rate)
 
-        def loss_fn(params, crops, labels):
+        def loss_fn(params, batch_stats, crops, labels):
             x = prewhiten(crops)
-            emb = self.model.apply(params, x)
+            emb, mutated = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, mutable=["batch_stats"])
             emb = emb / jnp.maximum(
                 jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
-            return semi_hard_triplet_loss(emb, labels, self.margin)
+            loss = semi_hard_triplet_loss(emb, labels, self.margin)
+            return loss, mutated["batch_stats"]
 
-        def step(params, opt_state, crops, labels):
-            loss, grads = jax.value_and_grad(loss_fn)(params, crops,
-                                                      labels)
+        def step(variables, opt_state, crops, labels):
+            params = variables["params"]
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, variables["batch_stats"],
+                                       crops, labels)
             updates, opt_state = self.tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            return ({"params": optax.apply_updates(params, updates),
+                     "batch_stats": new_stats}, opt_state, loss)
 
         if self.mesh is not None:
             batch = NamedSharding(self.mesh, P(FRAME_AXIS))
@@ -95,11 +105,14 @@ class FaceNetTrainer:
             self._step = jax.jit(step)
 
     def init(self, rng_seed: int = 0):
-        params = self.model.init(
+        """Returns (variables, opt_state); ``variables`` carries both
+        params and BN running statistics and plugs straight into
+        :class:`~facerec_tpu.models.FaceNetEmbedder`."""
+        variables = dict(self.model.init(
             jax.random.PRNGKey(rng_seed),
-            jnp.zeros((1, 160, 160, 3), jnp.float32))
-        return params, self.tx.init(params)
+            jnp.zeros((1, 160, 160, 3), jnp.float32)))
+        return variables, self.tx.init(variables["params"])
 
-    def step(self, params, opt_state, crops, labels
+    def step(self, variables, opt_state, crops, labels
              ) -> Tuple[dict, optax.OptState, jnp.ndarray]:
-        return self._step(params, opt_state, crops, labels)
+        return self._step(variables, opt_state, crops, labels)

@@ -92,6 +92,35 @@ def make_clip(path: str, n_frames: int = 60, width: int = 192,
                      scene_cuts=list(cuts))
 
 
+def synth_batch(rng: np.random.Generator, batch: int, width: int,
+                height: int, max_faces: int = 3,
+                face_size: Tuple[float, float] = (24.0, 64.0)):
+    """Random training frames of bright "face" rectangles over noise
+    backgrounds — the same face model :func:`make_clip` paints, batched
+    with padded ground truth for the detector trainer.
+
+    Returns (frames (B,H,W,3) uint8, boxes (B,F,4) f32, valid (B,F)
+    bool, landmarks (B,F,5,2) f32).
+    """
+    frames = rng.integers(20, 90, (batch, height, width, 3)).astype(np.uint8)
+    boxes = np.zeros((batch, max_faces, 4), np.float32)
+    valid = np.zeros((batch, max_faces), bool)
+    ldm = np.zeros((batch, max_faces, 5, 2), np.float32)
+    for i in range(batch):
+        for j in range(int(rng.integers(1, max_faces + 1))):
+            w = rng.uniform(*face_size)
+            h = min(w * rng.uniform(1.1, 1.3), height - 5)
+            x = rng.uniform(2, width - w - 2)
+            y = rng.uniform(2, height - h - 2)
+            box = np.array([x, y, x + w, y + h], np.float32)
+            xi, yi, x2i, y2i = [int(round(c)) for c in box]
+            frames[i, yi:y2i, xi:x2i] = int(rng.integers(170, 240))
+            boxes[i, j] = box
+            valid[i, j] = True
+            ldm[i, j] = _landmarks_for(box)
+    return frames, boxes, valid, ldm
+
+
 class ScriptedDetector:
     """Detector stand-in that replays ground-truth boxes.
 

@@ -52,3 +52,14 @@ def test_trainer_loss_decreases(rng):
                                                labels)
         losses.append(float(loss))
     assert losses[-1] <= losses[0] + 1e-3, losses
+
+
+def test_single_identity_batch_zero_loss(rng):
+    """No negatives in the batch → no triplets → loss exactly 0 (not a
+    1e9 sentinel blow-up)."""
+    emb = rng.normal(size=(6, 8)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    labels = np.zeros(6, np.int64)
+    loss = float(semi_hard_triplet_loss(jnp.asarray(emb),
+                                        jnp.asarray(labels)))
+    assert loss == 0.0

@@ -14,21 +14,11 @@ SIZE = (64, 64)
 
 
 def make_batch(rng, b):
-    images = rng.integers(0, 255, (b, *SIZE, 3)).astype(np.uint8)
-    g = 2
-    boxes = np.zeros((b, g, 4), np.float32)
-    valid = np.zeros((b, g), bool)
-    ldm = np.zeros((b, g, 5, 2), np.float32)
-    for i in range(b):
-        x, y = rng.uniform(4, 20, 2)
-        w = rng.uniform(12, 30)
-        boxes[i, 0] = [x, y, x + w, y + w]
-        valid[i, 0] = True
-        ldm[i, 0] = np.stack([np.linspace(x, x + w, 5),
-                              np.linspace(y, y + w, 5)], -1)
-        # paint the "face"
-        images[i, int(y):int(y + w), int(x):int(x + w)] = 220
-    return (jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(valid),
+    from facerec_tpu.video.synth import synth_batch
+
+    frames, boxes, valid, ldm = synth_batch(
+        rng, b, SIZE[1], SIZE[0], max_faces=2, face_size=(12.0, 30.0))
+    return (jnp.asarray(frames), jnp.asarray(boxes), jnp.asarray(valid),
             jnp.asarray(ldm))
 
 
@@ -68,3 +58,19 @@ def test_train_step_sharded(rng):
     batch = make_batch(rng, 8)
     params, opt_state, loss = trainer.step(params, opt_state, *batch)
     assert np.isfinite(float(loss))
+
+
+def test_training_updates_batch_stats(rng):
+    """BN must run in batch mode during training: the running mean moves
+    away from its zero init (it stayed frozen before the train-flag
+    plumbing)."""
+    trainer = DetectorTrainer(FaceDetector(fpn_features=16),
+                              input_size=SIZE, learning_rate=1e-3)
+    variables, opt_state = trainer.init()
+    stats0 = [np.asarray(s) for s in
+              jax.tree.leaves(variables["batch_stats"])]
+    batch = make_batch(rng, 4)
+    variables, opt_state, _ = trainer.step(variables, opt_state, *batch)
+    stats1 = [np.asarray(s) for s in
+              jax.tree.leaves(variables["batch_stats"])]
+    assert any(not np.array_equal(a, b) for a, b in zip(stats0, stats1))

@@ -165,7 +165,43 @@ def main(argv=None):
     cluster_mod.main(["--path", os.path.join(data_root, "*-data")])
 
     data_dir = os.path.join(data_root, "777-data")
+
+    # Classify against a synthetic actor DB seeded from the film's own
+    # feature vectors (cluster 0's mean = "actor 100") plus two
+    # distractor identities — proves the full predictions.json path.
+    import zipfile
+
+    from facerec_tpu.config import EMB_NAME
+    from facerec_tpu.pipeline import classify as classify_mod
+
+    feats = [json.loads(l) for l in
+             open(os.path.join(data_dir, "features.jsonl"))]
+    rng = np.random.default_rng(7)
+    actors_dir = os.path.join(args.out, "actors")
+    os.makedirs(actors_dir, exist_ok=True)
+    with zipfile.ZipFile(os.path.join(actors_dir, "actor-images.zip"),
+                         "w") as z:
+        for a in range(3):
+            if a == 0 and feats:
+                base = np.array(feats[0]["embeddings"][EMB_NAME])
+                center = base / max(np.linalg.norm(base), 1e-9)
+            else:
+                center = rng.normal(size=128)
+                center /= np.linalg.norm(center)
+            for i in range(6):
+                v = center + rng.normal(size=128) * 0.05
+                z.writestr(f"img_{a}_{i}.jpeg.json", json.dumps({
+                    "box": [0, 0, 10, 10],
+                    "embeddings": {EMB_NAME: v.tolist()},
+                    "actorID": str(100 + a),
+                    "actorname": f"Actor {a}",
+                }))
+    classify_mod.main(["--path", data_dir, "--actors-dir", actors_dir])
+    predictions = json.load(
+        open(os.path.join(data_dir, "predictions.json")))
+
     report = {
+        "predictions": predictions["predictions"],
         "train_loss_first": losses[0], "train_loss_last": losses[-1],
         "saved_boxes": counters.saved_boxes,
         "saved_trajectories": counters.saved_trajectories,

@@ -1,4 +1,11 @@
-"""Pallas TPU kernels for the hot ops XLA lowers poorly."""
-from facerec_tpu.ops.pallas.equalize import equalize_tpu
+"""Pallas TPU kernels for the hot ops XLA lowers poorly.
 
-__all__ = ["equalize_tpu"]
+Two histogram-equalization kernels: the direct 256-lane sweep
+(:mod:`.equalize`) and the radix-16 MXU formulation
+(:mod:`.equalize_v2`, ~2.3× faster, bit-identical) — the scene
+detector uses v2.
+"""
+from facerec_tpu.ops.pallas.equalize import equalize_tpu
+from facerec_tpu.ops.pallas.equalize_v2 import equalize_tpu_v2
+
+__all__ = ["equalize_tpu", "equalize_tpu_v2"]

@@ -73,9 +73,9 @@ def equalize(y: jnp.ndarray) -> jnp.ndarray:
         (B, H, W) float32 equalized planes.
     """
     if jax.default_backend() == "tpu":
-        from facerec_tpu.ops.pallas import equalize_tpu
+        from facerec_tpu.ops.pallas import equalize_tpu_v2
 
-        return equalize_tpu(y)
+        return equalize_tpu_v2(y)
     b, h, w = y.shape
     idx = y.astype(jnp.uint8).astype(jnp.int32)
     counts = jax.vmap(lambda im: jnp.bincount(im.ravel(), length=256))(idx)

@@ -237,7 +237,10 @@ class DetectorHarness:
 
         # Letterbox in the model's compute dtype: the f32 resize of a
         # full frame block is pure HBM traffic (~7 ms/block at 576×768
-        # b64) and halves in bf16 with no effect on detections.
+        # b64) and halves in bf16 with no effect on detections.  (A
+        # separable-matmul resize is faster standalone but fuses
+        # catastrophically inside the single-program extract block —
+        # measured 17× slower end-to-end.)
         x = frames.astype(self.model.dtype)
         x = jax.image.resize(x, (b, sh, sw, 3), "bilinear")
         x = jnp.pad(x, ((0, 0), (0, ih - sh), (0, iw - sw), (0, 0)))

@@ -1,20 +1,27 @@
-"""End-to-end self-check: train → extract → merge → cluster → score.
+"""End-to-end self-check: train both models → full pipeline → score.
 
-Trains the single-stage detector from scratch on synthetic face frames
-(the same generator the tests use), deploys the trained weights through
-the real extract CLI path on a fresh synthetic film, and scores the
-pipeline's output against the clip's ground truth — detection
-precision/recall at IoU 0.5, scene-cut exactness, trajectory counts.
+Trains the single-stage detector (anchor multi-task loss) AND the
+FaceNet embedder (semi-hard triplet mining) from scratch on synthetic
+faces with persistent identities, deploys both through the real
+extract → merge → cluster → classify path on a fresh synthetic film,
+and scores the output against ground truth:
 
-This is the framework's built-in integration probe: it exercises the
-trainer, weight save/load, the fused extract block step, trajectory
-assembly, shard merge and clustering in one command, with no external
-data or checkpoints.  The reference has no analogue (its quality
-control is manual; SURVEY.md §4).
+  - detection precision/recall at IoU 0.5 (one-to-one matching)
+  - scene-cut exactness
+  - cluster identity purity (trajectories of one actor cluster together)
+  - classification accuracy (each cluster's top predicted actor is its
+    majority ground-truth identity, via an actor DB built from held-out
+    crops embedded with the trained embedder)
+
+This is the framework's built-in integration probe: trainers, weight
+save/load, the fused extract block step, trajectory assembly, shard
+merge, clustering and KNN classification in one command, with no
+external data or checkpoints.  The reference has no analogue (its
+quality control is manual; SURVEY.md §4).
 
 Usage:
     python -m facerec_tpu.tools.selfcheck --out /tmp/selfcheck \
-        --train-steps 200
+        --train-steps 200 --embedder-steps 150
 """
 from __future__ import annotations
 
@@ -56,8 +63,10 @@ def train_detector(steps: int, batch: int, input_size, deploy_hw,
     ch, cw = int(round(dh * scale)), int(round(dw * scale))
     scaled_faces = (face_size[0] * scale, face_size[1] * scale)
     for s in range(steps):
+        # 64 random identity styles: the detector learns the identity
+        # face appearance generically (film identities are held out)
         frames, boxes, valid, ldm = synth_batch(
-            rng, batch, cw, ch, face_size=scaled_faces)
+            rng, batch, cw, ch, face_size=scaled_faces, identities=64)
         frames = np.pad(frames, ((0, 0), (0, ih - ch), (0, iw - cw),
                                  (0, 0)))
         variables, opt_state, loss = trainer.step(
@@ -67,6 +76,79 @@ def train_detector(steps: int, batch: int, input_size, deploy_hw,
             losses.append(float(loss))
             print(f"step {s}: loss {losses[-1]:.3f}", flush=True)
     return variables, losses
+
+
+def train_embedder(steps: int, n_identities: int, ids_per_batch: int = 4,
+                   crops_per_id: int = 4, seed: int = 1, log_every: int = 50):
+    """Train the FaceNet embedder from scratch with semi-hard triplet
+    mining on synthetic identity crops; returns (variables, losses)."""
+    import jax.numpy as jnp
+
+    from facerec_tpu.train.facenet_train import FaceNetTrainer
+    from facerec_tpu.video.synth import identity_crops
+
+    rng = np.random.default_rng(seed)
+    trainer = FaceNetTrainer(embedding_dim=128, learning_rate=3e-4)
+    variables, opt_state = trainer.init()
+    losses = []
+    for s in range(steps):
+        ids = rng.choice(n_identities, size=min(ids_per_batch,
+                                                n_identities),
+                         replace=False)
+        crops = np.concatenate([identity_crops(rng, int(a), crops_per_id)
+                                for a in ids])
+        labels = np.repeat(ids.astype(np.int32), crops_per_id)
+        variables, opt_state, loss = trainer.step(
+            variables, opt_state, jnp.asarray(crops), jnp.asarray(labels))
+        if s % log_every == 0 or s == steps - 1:
+            losses.append(float(loss))
+            print(f"embed step {s}: loss {losses[-1]:.4f}", flush=True)
+    return variables, losses
+
+
+def trajectory_identities(data_dir: str, clip, iou_thr: float = 0.5):
+    """Majority ground-truth identity per trajectory (IoU vote of each
+    trajectory's detected boxes against the clip's truth)."""
+    def iou(a, b):
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = ix * iy
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / ua if ua > 0 else 0.0
+
+    out = []
+    with open(os.path.join(data_dir, "trajectories.jsonl")) as f:
+        for line in f:
+            t = json.loads(line)
+            votes = {}
+            for k, bb in enumerate(t["bbs"]):
+                fr = t["start"] + k
+                for g, (gbox, _) in enumerate(clip.truth.get(fr, [])):
+                    if iou(bb, gbox) >= iou_thr:
+                        ident = clip.truth_ids[fr][g]
+                        votes[ident] = votes.get(ident, 0) + 1
+            out.append(max(votes, key=votes.get) if votes else -1)
+    return out
+
+
+def cluster_purity(clusters, traj_ids):
+    """Weighted majority-identity fraction over clusters, plus the
+    majority identity per cluster."""
+    clusters = np.asarray(clusters)
+    traj_ids = np.asarray(traj_ids)
+    n = len(clusters)
+    if n == 0:
+        return 0.0, {}
+    pure = 0
+    majority = {}
+    for c in np.unique(clusters):
+        ids = traj_ids[clusters == c]
+        vals, counts = np.unique(ids, return_counts=True)
+        k = int(np.argmax(counts))
+        majority[int(c)] = int(vals[k])
+        pure += int(counts[k])
+    return round(pure / n, 3), majority
 
 
 def score_detections(data_dir: str, truth, iou_thr: float = 0.5):
@@ -116,6 +198,8 @@ def main(argv=None):
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument("--out", type=str, default="./selfcheck")
     parser.add_argument("--train-steps", type=int, default=200)
+    parser.add_argument("--embedder-steps", type=int, default=150)
+    parser.add_argument("--identities", type=int, default=4)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--film-frames", type=int, default=240)
     parser.add_argument("--face-threshold", type=float, default=0.9)
@@ -131,26 +215,44 @@ def main(argv=None):
     from facerec_tpu.pipeline.extract import run_extract
     from facerec_tpu.video.synth import make_clip
 
+    import zipfile
+
+    from facerec_tpu.config import EMB_NAME
+    from facerec_tpu.models import FaceNetEmbedder
+    from facerec_tpu.pipeline import classify as classify_mod
+    from facerec_tpu.pipeline.extract import EmbedderBank
+    from facerec_tpu.video.synth import identity_crops
+
     os.makedirs(args.out, exist_ok=True)
     size = (args.detector_size, args.detector_size)
     film_hw = (576, 768)
     film_faces = (28.0, 44.0)   # make_clip's face-width range
+    k = args.identities
 
     t0 = time.time()
     print("=== training detector on synthetic faces ===", flush=True)
-    params, losses = train_detector(args.train_steps, args.batch, size,
-                                    deploy_hw=film_hw,
-                                    face_size=film_faces)
+    params, det_losses = train_detector(args.train_steps, args.batch,
+                                        size, deploy_hw=film_hw,
+                                        face_size=film_faces)
     weights_path = os.path.join(args.out, "detector.npz")
     save_params(weights_path, params)
-    print(f"trained in {time.time() - t0:.0f}s; weights → {weights_path}",
-          flush=True)
 
-    print("=== running pipeline with trained detector ===", flush=True)
+    print("=== training embedder on synthetic identities ===", flush=True)
+    emb_vars, emb_losses = train_embedder(args.embedder_steps, k)
+    emb_path = os.path.join(args.out, "facenet.npz")
+    save_params(emb_path, emb_vars)
+    trained_emb = FaceNetEmbedder(EMB_NAME, 128,
+                                  params=load_params(emb_path, emb_vars))
+    bank = EmbedderBank.create_default()
+    bank = EmbedderBank({name: (trained_emb if name == EMB_NAME else e)
+                         for name, e in bank.embedders.items()})
+
+    print("=== running pipeline with trained models ===", flush=True)
     clip = make_clip(os.path.join(args.out, "777-Selfcheck_Film.mp4"),
                      n_frames=args.film_frames, width=768, height=576,
                      cuts=(args.film_frames // 3,
-                           2 * args.film_frames // 3), n_faces=2)
+                           2 * args.film_frames // 3), n_faces=2,
+                     identities=k)
     detector = DetectorHarness(
         model=FaceDetector(), variables=load_params(weights_path, params),
         input_size=size, max_detections=16,
@@ -159,37 +261,28 @@ def main(argv=None):
     counters = run_extract(
         clip.path,
         ExtractConfig(face_threshold=args.face_threshold, resume=False),
-        data_root, detector=detector)
+        data_root, detector=detector, embedders=bank)
     merge_mod.main(["--path", os.path.join(data_root, "*-data"),
                     "--min-face-size", "20"])
-    cluster_mod.main(["--path", os.path.join(data_root, "*-data")])
+    # probe-scale cluster size: the reference default (18 trajectories
+    # per cluster) lumps a tiny film's handful of trajectories into one
+    # mixed cluster, hiding embedding quality
+    cluster_mod.main(["--path", os.path.join(data_root, "*-data"),
+                      "--size", "2", "--min-size", "1", "--max-size", "4"])
 
     data_dir = os.path.join(data_root, "777-data")
 
-    # Classify against a synthetic actor DB seeded from the film's own
-    # feature vectors (cluster 0's mean = "actor 100") plus two
-    # distractor identities — proves the full predictions.json path.
-    import zipfile
-
-    from facerec_tpu.config import EMB_NAME
-    from facerec_tpu.pipeline import classify as classify_mod
-
-    feats = [json.loads(l) for l in
-             open(os.path.join(data_dir, "features.jsonl"))]
-    rng = np.random.default_rng(7)
+    # Actor DB from HELD-OUT crops of each identity embedded with the
+    # trained embedder — actor 100+i is identity i.
+    rng = np.random.default_rng(99)
     actors_dir = os.path.join(args.out, "actors")
     os.makedirs(actors_dir, exist_ok=True)
     with zipfile.ZipFile(os.path.join(actors_dir, "actor-images.zip"),
                          "w") as z:
-        for a in range(3):
-            if a == 0 and feats:
-                base = np.array(feats[0]["embeddings"][EMB_NAME])
-                center = base / max(np.linalg.norm(base), 1e-9)
-            else:
-                center = rng.normal(size=128)
-                center /= np.linalg.norm(center)
-            for i in range(6):
-                v = center + rng.normal(size=128) * 0.05
+        for a in range(k):
+            crops = identity_crops(rng, a, 8)
+            vecs = np.asarray(trained_emb(crops))
+            for i, v in enumerate(vecs):
                 z.writestr(f"img_{a}_{i}.jpeg.json", json.dumps({
                     "box": [0, 0, 10, 10],
                     "embeddings": {EMB_NAME: v.tolist()},
@@ -198,11 +291,24 @@ def main(argv=None):
                 }))
     classify_mod.main(["--path", data_dir, "--actors-dir", actors_dir])
     predictions = json.load(
-        open(os.path.join(data_dir, "predictions.json")))
+        open(os.path.join(data_dir, "predictions.json")))["predictions"]
 
+    clusters = json.load(open(os.path.join(data_dir,
+                                           "clusters.json")))["clusters"]
+    traj_ids = trajectory_identities(data_dir, clip)
+    purity, majority = cluster_purity(clusters, traj_ids)
+    # classification accuracy: top predicted actor == majority identity
+    correct = total = 0
+    for c, m in majority.items():
+        pred = predictions.get(str(c), {})
+        if not pred or m < 0:
+            continue
+        total += 1
+        top = max(pred, key=pred.get)
+        correct += int(top == f"momaf:elonet_henkilo_{100 + m}")
     report = {
-        "predictions": predictions["predictions"],
-        "train_loss_first": losses[0], "train_loss_last": losses[-1],
+        "detector_loss": [det_losses[0], det_losses[-1]],
+        "embedder_loss": [emb_losses[0], emb_losses[-1]],
         "saved_boxes": counters.saved_boxes,
         "saved_trajectories": counters.saved_trajectories,
         "detection": score_detections(data_dir, clip.truth),
@@ -210,6 +316,10 @@ def main(argv=None):
             open(os.path.join(data_dir, "scene_changes.json"))
         )["frame_indices"],
         "scene_cuts_truth": clip.scene_cuts,
+        "cluster_purity": purity,
+        "classify_accuracy": (round(correct / total, 3) if total
+                              else None),
+        "predictions": predictions,
         "wall_s": round(time.time() - t0, 1),
     }
     with open(os.path.join(args.out, "selfcheck.json"), "w") as f:

@@ -6,18 +6,21 @@ per 64-frame block.  This version decomposes each 8-bit bin index into
 two nibbles ``v = 16·hi + lo`` so the histogram becomes an outer
 product of two 16-wide one-hots — one tiny MXU matmul per chunk:
 
-  pass 1:  A[h,p] = [hi(p) == h]   B[l,p] = [lo(p) == l]   (16×512 each)
+  pass 1:  A[h,p] = [hi(p) == h]   B[l,p] = [lo(p) == l]   (16×LANES each)
            hist2d += A @ Bᵀ                                (16×16 MXU)
            lt[h]   += Σ_p [hi(p) < h]                      (VPU)
   cdf2d[h,l] = lt[h] + prefix_l(hist2d[h])                 (4 roll+add steps)
-  pass 2:  tmp = cdf2d @ B                                 (16×512 MXU)
+  pass 2:  tmp = cdf2dᵢ @ B per byte plane                 (16×LANES MXU)
            eq(p) = Σ_h A[h,p] · tmp[h,p]                   (sublane reduce)
 
 ~19M VPU ops + ~300 MFLOP MXU per frame instead of ~300M VPU ops.
-Counts stay < 2²⁴ and every matmul multiplies by exact 0/1 one-hots at
-HIGHEST precision, so results are exact integers like the v1 kernel;
-the final cdf division happens outside (same 1-ulp story as v1).
-Padding pixels hold 256 → hi = 16 matches no bin and is < no bin.
+Everything runs single-pass bf16 on the MXU and stays exact: 0/1
+one-hots are exact in bf16, counts stay < 2²⁴ in the f32 accumulators,
+and cdf2d (up to 19 bits) is split into byte planes < 256 (each exact
+in bf16) whose one-hot lookups pick exactly one value before the f32
+recombination.  The final cdf division happens outside (same 1-ulp
+story as v1).  Padding pixels hold 256 → hi = 16 matches no bin and is
+< no bin.
 """
 from __future__ import annotations
 
@@ -30,7 +33,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NIB = 16
 _LANES = 2048       # pixels per chunk
-_HIGH = jax.lax.Precision.HIGHEST
 
 
 def _prefix16(x: jnp.ndarray) -> jnp.ndarray:
@@ -66,7 +68,6 @@ def _equalize_kernel(idx_ref, eq_ref):
         for i in range(_ROWS):
             a, b, hi = nibbles(tile, i)
             # 0/1 one-hots are exact in bf16: single-pass MXU is exact
-            # here (pass 2 keeps HIGHEST because cdf2d needs 19 bits)
             hist2d = hist2d + jax.lax.dot_general(
                 a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (1,)), ((), ())),

@@ -63,10 +63,12 @@ def train_detector(steps: int, batch: int, input_size, deploy_hw,
     ch, cw = int(round(dh * scale)), int(round(dw * scale))
     scaled_faces = (face_size[0] * scale, face_size[1] * scale)
     for s in range(steps):
-        # 64 random identity styles: the detector learns the identity
-        # face appearance generically (film identities are held out)
+        # 64 random identity styles from a disjoint id range: the
+        # detector learns the identity face appearance generically and
+        # the film's identities 0..K-1 stay held out
         frames, boxes, valid, ldm = synth_batch(
-            rng, batch, cw, ch, face_size=scaled_faces, identities=64)
+            rng, batch, cw, ch, face_size=scaled_faces, identities=64,
+            identity_base=1000)
         frames = np.pad(frames, ((0, 0), (0, ih - ch), (0, iw - cw),
                                  (0, 0)))
         variables, opt_state, loss = trainer.step(
@@ -108,14 +110,9 @@ def train_embedder(steps: int, n_identities: int, ids_per_batch: int = 4,
 
 def trajectory_identities(data_dir: str, clip, iou_thr: float = 0.5):
     """Majority ground-truth identity per trajectory (IoU vote of each
-    trajectory's detected boxes against the clip's truth)."""
-    def iou(a, b):
-        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
-        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
-        inter = ix * iy
-        ua = ((a[2] - a[0]) * (a[3] - a[1])
-              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
-        return inter / ua if ua > 0 else 0.0
+    trajectory's detected boxes against the clip's truth); -1 where no
+    box ever matched."""
+    from facerec_tpu.ops.boxes import iou_single as iou
 
     out = []
     with open(os.path.join(data_dir, "trajectories.jsonl")) as f:
@@ -133,35 +130,35 @@ def trajectory_identities(data_dir: str, clip, iou_thr: float = 0.5):
 
 
 def cluster_purity(clusters, traj_ids):
-    """Weighted majority-identity fraction over clusters, plus the
-    majority identity per cluster."""
+    """Weighted majority-identity fraction over clusters (trajectories
+    with unknown identity -1 are excluded from both sides — a cluster
+    of spurious detections must not count as pure), plus the majority
+    identity per cluster (-1 when a cluster has no known identity)."""
     clusters = np.asarray(clusters)
     traj_ids = np.asarray(traj_ids)
-    n = len(clusters)
-    if n == 0:
-        return 0.0, {}
-    pure = 0
+    pure = known = 0
     majority = {}
     for c in np.unique(clusters):
-        ids = traj_ids[clusters == c]
+        ids = traj_ids[(clusters == c) & (traj_ids >= 0)]
+        if ids.size == 0:
+            majority[int(c)] = -1
+            continue
         vals, counts = np.unique(ids, return_counts=True)
         k = int(np.argmax(counts))
         majority[int(c)] = int(vals[k])
         pure += int(counts[k])
-    return round(pure / n, 3), majority
+        known += int(ids.size)
+    return (round(pure / known, 3) if known else None), majority
 
 
-def score_detections(data_dir: str, truth, iou_thr: float = 0.5):
+def score_detections(data_dir: str, truth, iou_thr: float = 0.5,
+                     save_every: int = 5):
     """One-to-one greedy matching of features.jsonl boxes against the
     per-frame ground truth: each truth box is consumed by at most one
-    prediction, so duplicate detections count against precision."""
-    def iou(a, b):
-        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
-        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
-        inter = ix * iy
-        ua = ((a[2] - a[0]) * (a[3] - a[1])
-              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
-        return inter / ua if ua > 0 else 0.0
+    prediction (duplicates count against precision), and recall counts
+    every truth box on every feature-cadence frame — whole-frame misses
+    count against recall."""
+    from facerec_tpu.ops.boxes import iou_single as iou
 
     preds_by_frame = {}
     with open(os.path.join(data_dir, "features.jsonl")) as f:
@@ -170,8 +167,11 @@ def score_detections(data_dir: str, truth, iou_thr: float = 0.5):
             preds_by_frame.setdefault(rec["frame"], []).append(rec["box"])
 
     n_pred = n_match = n_truth = 0
-    for fr, preds in preds_by_frame.items():
-        gts = [t[0] for t in truth.get(fr, [])]
+    for fr, gts_full in truth.items():
+        if fr % save_every != 0:
+            continue
+        gts = [t[0] for t in gts_full]
+        preds = preds_by_frame.get(fr, [])
         used = [False] * len(gts)
         n_pred += len(preds)
         n_truth += len(gts)
@@ -205,6 +205,10 @@ def main(argv=None):
     parser.add_argument("--face-threshold", type=float, default=0.9)
     parser.add_argument("--detector-size", type=int, default=512)
     args = parser.parse_args(argv)
+    if args.identities < 3:
+        parser.error("--identities must be >= 3 (the classify stage "
+                     "requires 3 classes and the clip needs 2 faces "
+                     "per scene)")
 
     from facerec_tpu.config import ExtractConfig
     from facerec_tpu.models import DetectorHarness
@@ -241,11 +245,14 @@ def main(argv=None):
     emb_vars, emb_losses = train_embedder(args.embedder_steps, k)
     emb_path = os.path.join(args.out, "facenet.npz")
     save_params(emb_path, emb_vars)
+    from facerec_tpu.config import FACENET_DIMS, FACENET_MODELS
+
     trained_emb = FaceNetEmbedder(EMB_NAME, 128,
                                   params=load_params(emb_path, emb_vars))
-    bank = EmbedderBank.create_default()
-    bank = EmbedderBank({name: (trained_emb if name == EMB_NAME else e)
-                         for name, e in bank.embedders.items()})
+    bank = EmbedderBank({
+        name: (trained_emb if name == EMB_NAME
+               else FaceNetEmbedder(name, FACENET_DIMS[name], rng_seed=i))
+        for i, name in enumerate(FACENET_MODELS)})
 
     print("=== running pipeline with trained models ===", flush=True)
     clip = make_clip(os.path.join(args.out, "777-Selfcheck_Film.mp4"),

@@ -162,7 +162,7 @@ def identity_crops(rng: np.random.Generator, identity: int, n: int,
 def synth_batch(rng: np.random.Generator, batch: int, width: int,
                 height: int, max_faces: int = 3,
                 face_size: Tuple[float, float] = (24.0, 64.0),
-                identities: int = 0):
+                identities: int = 0, identity_base: int = 0):
     """Random training frames of "face" rectangles over noise
     backgrounds — the same face model :func:`make_clip` paints, batched
     with padded ground truth for the detector trainer.  With
@@ -184,8 +184,8 @@ def synth_batch(rng: np.random.Generator, batch: int, width: int,
             x = rng.uniform(2, width - w - 2)
             y = rng.uniform(2, height - h - 2)
             box = np.array([x, y, x + w, y + h], np.float32)
-            ident = (int(rng.integers(0, identities)) if identities
-                     else None)
+            ident = (identity_base + int(rng.integers(0, identities))
+                     if identities else None)
             paint_face(frames[i], box, ident,
                        shade=int(rng.integers(170, 240)))
             boxes[i, j] = box

@@ -23,9 +23,12 @@ def test_score_one_to_one(tmp_path):
     assert rep["precision"] == 0.5 and rep["recall"] == 1.0
 
 
-def test_score_counts_truth_only_on_predicted_frames(tmp_path):
+def test_score_whole_frame_misses_hit_recall(tmp_path):
+    """Recall counts truth on every feature-cadence frame: a frame with
+    zero predictions still contributes its truth boxes."""
     truth = {
-        0: [(np.array([0, 0, 10, 10], np.float32), None)],
+        0: [(np.array([0, 0, 10, 10], np.float32), None)],   # missed
+        3: [(np.array([0, 0, 10, 10], np.float32), None)],   # off-cadence
         5: [(np.array([0, 0, 10, 10], np.float32), None),
             (np.array([20, 20, 40, 40], np.float32), None)],
     }
@@ -33,6 +36,19 @@ def test_score_counts_truth_only_on_predicted_frames(tmp_path):
         {"frame": 5, "box": [0, 0, 10, 10]},
         {"frame": 5, "box": [21, 21, 41, 41]},
     ])
-    rep = score_detections(str(tmp_path), truth)
+    rep = score_detections(str(tmp_path), truth, save_every=5)
     assert rep["n_matched"] == 2
-    assert rep["precision"] == 1.0 and rep["recall"] == 1.0
+    assert rep["precision"] == 1.0
+    assert rep["recall"] == round(2 / 3, 3)
+
+
+def test_cluster_purity_excludes_unknown():
+    from facerec_tpu.tools.selfcheck import cluster_purity
+
+    # cluster 0: identities {1, 1}; cluster 1: all unknown (-1)
+    purity, majority = cluster_purity([0, 0, 1, 1], [1, 1, -1, -1])
+    assert purity == 1.0
+    assert majority == {0: 1, 1: -1}
+    # nothing known at all → purity is None, not a perfect score
+    purity, _ = cluster_purity([0, 0], [-1, -1])
+    assert purity is None

@@ -259,12 +259,22 @@ class DetectorHarness:
         keep = (scores > self.score_threshold) & (wh >= self.min_face_size)
         masked = jnp.where(keep, scores, -1.0)
 
+        # Candidate pre-selection: greedy NMS over all ~22k anchors
+        # sweeps the full score row every step; the top-256 by score
+        # always contain every possible survivor unless a frame has
+        # >256 above-threshold anchors (not a real film frame).
+        n_cand = min(256, masked.shape[1])
+        top_scores, top_idx = jax.lax.top_k(masked, n_cand)
+        top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
+        top_ldm = jnp.take_along_axis(
+            landmarks, top_idx[..., None, None], axis=1)
+
         def per_frame(bx, sc, ldm):
             idx, valid = nms(bx, sc, self.nms_iou, self.max_detections)
             return bx[idx], sc[idx], ldm[idx], valid
 
         sel_boxes, sel_scores, sel_ldm, sel_valid = jax.vmap(per_frame)(
-            boxes, masked, landmarks)
+            top_boxes, top_scores, top_ldm)
         sel_valid = sel_valid & (sel_scores > self.score_threshold)
 
         # clamp boxes to the display frame

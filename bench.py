@@ -60,10 +60,11 @@ def main() -> None:
         score_threshold=0.95, dtype=compute_dtype)
     bank = EmbedderBank.create_default(dtype=compute_dtype)
     tracker_cfg = TrackerConfig(max_tracks=32, max_detections=16)
-    stacks = tuple(g.stacked for g in bank.groups)
+    backbone_stack = bank.pooled.backbone_stack
+    bottlenecks = bank.pooled.bottlenecks
 
-    def block_step(det_vars, stacks, frames, scene_state, tracker_state,
-                   crop_boxes, crop_frames):
+    def block_step(det_vars, backbone_stack, bottlenecks, frames,
+                   scene_state, tracker_state, crop_boxes, crop_frames):
         flags, scene_state = scene_ops._detect_block_impl(
             frames, scene_state)
         det = detector._forward(det_vars, frames)
@@ -71,8 +72,8 @@ def main() -> None:
             tracker_cfg, tracker_state, det.boxes, det.valid, flags,
             jnp.int32(0))
         crops = crop_resize(frames, crop_frames, crop_boxes, 160)
-        emb_sum = sum(g._embed(st, crops).sum().astype(jnp.float32)
-                      for g, st in zip(bank.groups, stacks))
+        embs = bank.pooled._embed(backbone_stack, bottlenecks, crops)
+        emb_sum = sum(e.sum().astype(jnp.float32) for e in embs)
         fp = flags.sum().astype(jnp.float32) + emit.box.sum() + emb_sum
         return fp, scene_state, tracker_state
 
@@ -95,16 +96,18 @@ def main() -> None:
 
     t0 = time.perf_counter()
     log("compiling fused block program...")
-    fp, scene_s, tracker_s = step(det_vars, stacks, frames, scene_state,
-                                  tracker_state, crop_boxes, crop_frames)
+    fp, scene_s, tracker_s = step(det_vars, backbone_stack, bottlenecks,
+                                  frames, scene_state, tracker_state,
+                                  crop_boxes, crop_frames)
     _ = float(fp)
     log(f"  {time.perf_counter() - t0:.1f}s")
 
     start = time.perf_counter()
     fps_sink = []
     for _ in range(N_BLOCKS):
-        fp, scene_s, tracker_s = step(det_vars, stacks, frames, scene_s,
-                                      tracker_s, crop_boxes, crop_frames)
+        fp, scene_s, tracker_s = step(det_vars, backbone_stack, bottlenecks,
+                                      frames, scene_s, tracker_s,
+                                      crop_boxes, crop_frames)
         fps_sink.append(fp)
     total = float(sum(fps_sink))   # one host fetch drains the pipeline
     assert np.isfinite(total)

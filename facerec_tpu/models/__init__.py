@@ -7,5 +7,7 @@ FaceNet (/root/reference/facerec/extract.py:21-25) with a native Flax
 implementation — so detection and embedding run as one batched XLA
 program per frame block in bfloat16 on the MXU.
 """
-from facerec_tpu.models.facenet import FaceNet, FaceNetEmbedder, StackedEmbedders
+from facerec_tpu.models.facenet import (FaceNet, FaceNetEmbedder,
+                                         PooledStackedEmbedders,
+                                         StackedEmbedders)
 from facerec_tpu.models.detector import FaceDetector, DetectorHarness

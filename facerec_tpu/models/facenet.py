@@ -85,10 +85,17 @@ class Block8(nn.Module):
 
 
 class FaceNet(nn.Module):
-    """Inception-ResNet-v1 producing unnormalized bottleneck features."""
+    """Inception-ResNet-v1 producing unnormalized bottleneck features.
+
+    With ``pool_only`` the forward stops at the 1792-d global pool —
+    the backbone is architecturally identical across all four reference
+    checkpoints (only the bottleneck dim differs), which lets the
+    extract stage vmap all four backbones in one program.
+    """
 
     embedding_dim: int = 512
     dtype: Any = jnp.float32
+    pool_only: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -145,6 +152,8 @@ class FaceNet(nn.Module):
 
         # Global average pool + bottleneck (dense, no bias, then BN)
         x = jnp.mean(x, axis=(1, 2))
+        if self.pool_only:
+            return x.astype(jnp.float32)
         x = nn.Dense(self.embedding_dim, use_bias=False, dtype=d,
                      name="Bottleneck")(x)
         x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
@@ -208,6 +217,68 @@ def _jitted_stacked_embed(embedding_dim: int, dtype: Any):
         return jax.vmap(one, in_axes=(0, None))(stacked_variables, x)
 
     return embed
+
+
+def _split_bottleneck(variables):
+    """variables → (backbone variables, bottleneck arrays dict)."""
+    params = dict(variables["params"])
+    stats = dict(variables["batch_stats"])
+    backbone = {
+        "params": {k: v for k, v in params.items()
+                   if not k.startswith("Bottleneck")},
+        "batch_stats": {k: v for k, v in stats.items()
+                        if not k.startswith("Bottleneck")},
+    }
+    bottleneck = {
+        "kernel": params["Bottleneck"]["kernel"],
+        "bias": params["Bottleneck_BatchNorm"]["bias"],
+        "mean": stats["Bottleneck_BatchNorm"]["mean"],
+        "var": stats["Bottleneck_BatchNorm"]["var"],
+    }
+    return backbone, bottleneck
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_pooled_embed(n_ckpts: int, dtype: Any):
+    """Compiled embed over ALL checkpoints: one vmapped backbone
+    (identical architecture across the four reference checkpoints) plus
+    per-checkpoint bottleneck matmuls — a single program with K× the
+    effective conv batch of the per-dim grouping."""
+    model = FaceNet(dtype=dtype, pool_only=True)
+
+    @jax.jit
+    def embed(backbone_stack, bottlenecks, crops):
+        x = prewhiten(crops)
+        feats = jax.vmap(lambda v: model.apply(v, x))(backbone_stack)
+        outs = []
+        for i in range(n_ckpts):
+            b = bottlenecks[i]
+            f = feats[i] @ b["kernel"]
+            f = ((f - b["mean"]) * jax.lax.rsqrt(b["var"] + 1e-3)
+                 + b["bias"])
+            norm = jnp.linalg.norm(f, axis=-1, keepdims=True)
+            outs.append(f / jnp.maximum(norm, 1e-12))
+        return tuple(outs)
+
+    return embed
+
+
+class PooledStackedEmbedders:
+    """All FaceNet checkpoints (any bottleneck dims) as ONE program:
+    vmapped shared-architecture backbone + per-checkpoint bottlenecks."""
+
+    def __init__(self, embedders):
+        self.names = [e.name for e in embedders]
+        self.dtype = embedders[0].dtype
+        split = [_split_bottleneck(e.variables) for e in embedders]
+        self.backbone_stack = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[s[0] for s in split])
+        self.bottlenecks = tuple(s[1] for s in split)
+        self._embed = _jitted_pooled_embed(len(embedders), self.dtype)
+
+    def __call__(self, crops):
+        """(N,160,160,3) → tuple of (N, dim_i) unit embeddings."""
+        return self._embed(self.backbone_stack, self.bottlenecks, crops)
 
 
 class StackedEmbedders:

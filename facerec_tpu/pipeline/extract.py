@@ -87,25 +87,17 @@ class EmbedderBank:
     """All FaceNet checkpoints over one crop batch.
 
     The reference embeds one crop at a time per model
-    (extract.py:166-167); here the whole block's crops go through each
-    model as one batched forward.
+    (extract.py:166-167); here ALL FOUR checkpoints run as one program:
+    a single vmapped backbone (the architecture is identical across
+    checkpoints) plus per-checkpoint bottlenecks — one device dispatch
+    with 4× the effective conv batch.
     """
 
     def __init__(self, embedders: Dict[str, "object"]):
-        import jax
+        from facerec_tpu.models.facenet import PooledStackedEmbedders
 
         self.embedders = embedders
-        # group same-dim checkpoints into one vmapped program each
-        from facerec_tpu.models import StackedEmbedders
-
-        by_dim: Dict[int, list] = {}
-        for e in embedders.values():
-            by_dim.setdefault(e.embedding_dim, []).append(e)
-        self.groups = [StackedEmbedders(v) for v in by_dim.values()]
-        # ... and all groups as ONE dispatch (per-call latency through
-        # the device tunnel beats any same-program fusion concern)
-        self._embed_all = jax.jit(lambda stacks, crops: tuple(
-            g._embed(st, crops) for g, st in zip(self.groups, stacks)))
+        self.pooled = PooledStackedEmbedders(list(embedders.values()))
 
     @classmethod
     def create_default(cls, dtype=None) -> "EmbedderBank":
@@ -123,14 +115,8 @@ class EmbedderBank:
     def __call__(self, crops) -> Dict[str, np.ndarray]:
         import jax
 
-        outs = self._embed_all(tuple(g.stacked for g in self.groups),
-                               crops)
-        out: Dict[str, np.ndarray] = {}
-        for group, stacked in zip(self.groups, jax.device_get(outs)):
-            for k, name in enumerate(group.names):
-                out[name] = stacked[k]
-        # preserve checkpoint declaration order
-        return {name: out[name] for name in self.embedders}
+        outs = jax.device_get(self.pooled(crops))
+        return dict(zip(self.pooled.names, outs))
 
 
 def run_extract(

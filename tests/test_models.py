@@ -70,3 +70,22 @@ def test_detector_jit_stability(detector, rng):
     b = detector(frames)
     np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
                                atol=1e-5)
+
+
+def test_pooled_embedders_match_individual(rng):
+    """The one-program vmapped-backbone embed must reproduce each
+    checkpoint's individual forward to f32 roundoff."""
+    import jax.numpy as jnp
+
+    from facerec_tpu.config import FACENET_DIMS, FACENET_MODELS
+    from facerec_tpu.models import FaceNetEmbedder
+    from facerec_tpu.models.facenet import PooledStackedEmbedders
+
+    embs = [FaceNetEmbedder(n, FACENET_DIMS[n], rng_seed=i)
+            for i, n in enumerate(FACENET_MODELS)]
+    pooled = PooledStackedEmbedders(embs)
+    crops = jnp.asarray(rng.integers(0, 255, (2, 160, 160, 3)), jnp.uint8)
+    outs = pooled(crops)
+    for e, o in zip(embs, outs):
+        np.testing.assert_allclose(np.asarray(e(crops)), np.asarray(o),
+                                   atol=1e-5)

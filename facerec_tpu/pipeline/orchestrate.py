@@ -30,11 +30,33 @@ class Stage:
 
 def build_stages(filmfile: str, out_path: str, cfg: PipelineConfig,
                  actors_dir: Optional[str] = None,
-                 skip: List[str] = ()) -> List[Stage]:
+                 skip: List[str] = (),
+                 shard_procs: int = 0) -> List[Stage]:
     movie_id = movie_id_from_filename(filmfile)
     data_dir = os.path.join(out_path, f"{movie_id}-data")
 
     def extract():
+        if shard_procs > 1:
+            # One subprocess per shard — the reference's array-job model
+            # (facerec-pipeline.py GPU array / scripts/extract.sh) run
+            # locally and sequentially.  Each shard is idempotent and
+            # resume-marked, so a crashed run re-runs only the missing
+            # shards; per-shard processes also bound host memory on
+            # hosts whose device runtime grows with transfer count.
+            import subprocess
+            import sys
+
+            for i in range(shard_procs):
+                cmd = [sys.executable, "-m", "facerec_tpu.pipeline.extract",
+                       "--n-shards", str(shard_procs), "--shard-i", str(i),
+                       "--out-path", out_path, filmfile]
+                print(f"[extract shard {i + 1}/{shard_procs}] "
+                      + " ".join(cmd), flush=True)
+                res = subprocess.run(cmd)
+                if res.returncode != 0:
+                    raise RuntimeError(
+                        f"extract shard {i} failed ({res.returncode})")
+            return None
         from facerec_tpu.pipeline.extract import run_extract
 
         return run_extract(filmfile, cfg.extract, out_path)
@@ -107,12 +129,17 @@ def main(argv=None) -> int:
                              "the classify stage)")
     parser.add_argument("--skip", type=str, default="",
                         help="comma-separated stage names to skip")
+    parser.add_argument("--shard-procs", type=int, default=0,
+                        help="run extract as N sequential per-shard "
+                             "subprocesses (the reference's array-job "
+                             "model; shards are resumable)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
     stages = build_stages(args.filmfile, args.out_path, PipelineConfig(),
                           actors_dir=args.actors_dir,
-                          skip=args.skip.split(",") if args.skip else ())
+                          skip=args.skip.split(",") if args.skip else (),
+                          shard_procs=args.shard_procs)
     ok = run_pipeline(stages, verbose=args.verbose)
     return 0 if ok else 1
 

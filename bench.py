@@ -2,8 +2,8 @@
 """Headline benchmark: extract-pipeline frames/sec on one chip.
 
 Measures the device path of the extract stage — scene statistics
-(Pallas histogram equalization) + single-stage detection (512×512,
-bf16) + the SORT tracker scan + face crop + 4×FaceNet embedding — as
+(Pallas histogram equalization) + single-stage detection (AR-fitted
+384×512, bf16) + the SORT tracker scan + face crop + 4×FaceNet embedding — as
 ONE fused XLA program per 64-frame block at film display resolution.
 Blocks are dispatched back-to-back with device-to-device data
 dependencies only; the host syncs once at the end, so the number is
@@ -31,7 +31,7 @@ BLOCK = 64                 # frames per device block
 HEIGHT, WIDTH = 576, 768   # film display resolution
 CROPS_PER_BLOCK = 32       # faces embedded per block (≈2 per saved frame)
 N_BLOCKS = 20
-DETECTOR_SIZE = (512, 512)
+DETECTOR_SIZE = (384, 512)   # AR-fitted to 576x768 (models.detector.fit_input_size)
 
 
 def log(msg):

@@ -60,7 +60,9 @@ class ExtractConfig:
     block_frames: int = 64            # frames per device block
     max_detections: int = 16          # per-frame detection capacity
     max_tracks: int = 32              # live track table capacity
-    detector_size: Tuple[int, int] = (512, 512)  # detector input (H, W)
+    # Detector input (H, W); None = fit to the film's aspect ratio
+    # (long side 512, stride-32 multiples) so no FLOPs run on padding.
+    detector_size: Optional[Tuple[int, int]] = None
     compute_dtype: str = "bfloat16"
 
     # Fault tolerance (SURVEY.md §5.3-5.4): block-granular in-stage

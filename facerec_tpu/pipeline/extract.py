@@ -162,9 +162,11 @@ def run_extract(
 
     if detector is None:
         from facerec_tpu.models import DetectorHarness
+        from facerec_tpu.models.detector import fit_input_size
 
         detector = DetectorHarness.create(
-            input_size=cfg.detector_size,
+            input_size=(cfg.detector_size
+                        or fit_input_size(d_h, d_w)),
             max_detections=cfg.max_detections,
             score_threshold=cfg.face_threshold,
             min_face_size=cfg.min_face_size)

@@ -89,3 +89,37 @@ def test_pooled_embedders_match_individual(rng):
     for e, o in zip(embs, outs):
         np.testing.assert_allclose(np.asarray(e(crops)), np.asarray(o),
                                    atol=1e-5)
+
+
+def test_fit_input_size():
+    from facerec_tpu.models.detector import fit_input_size
+
+    # 576x768 film: long side 768 → scale 2/3 → exactly 384x512, no pad
+    assert fit_input_size(576, 768) == (384, 512)
+    # square stays square
+    assert fit_input_size(512, 512) == (512, 512)
+    # portrait flips
+    assert fit_input_size(768, 576) == (512, 384)
+    # rounding goes up to the stride multiple, never below it
+    assert fit_input_size(570, 768) == (384, 512)
+    assert fit_input_size(20, 768) == (32, 512)
+    h, w = fit_input_size(480, 720)
+    assert h % 32 == 0 and w % 32 == 0
+    assert h >= 480 * (512 / 720) and w == 512
+
+
+def test_detector_ar_fitted_input_runs(detector, rng):
+    """The same conv variables run at an AR-fitted input size (the
+    model is fully convolutional); content scale must match."""
+    from facerec_tpu.models import DetectorHarness
+    from facerec_tpu.models.detector import fit_input_size
+    import dataclasses
+
+    size = fit_input_size(144, 192, long_side=128)
+    assert size == (96, 128)
+    fitted = dataclasses.replace(detector, input_size=size)
+    frames = jnp.asarray(rng.integers(0, 255, (2, 144, 192, 3)), jnp.uint8)
+    det = jax.jit(fitted._forward)(fitted.variables, frames)
+    assert det.boxes.shape == (2, 8, 4)
+    # boxes map back to display coordinates
+    assert float(det.boxes.max()) <= 192.0

@@ -230,12 +230,17 @@ class DetectorHarness:
     @classmethod
     def create(cls, rng_seed: int = 0, dtype: Any = jnp.float32,
                **kwargs) -> "DetectorHarness":
+        from facerec_tpu.models.facenet import cast_float_tree
+
         model = FaceDetector(dtype=dtype)
         size = kwargs.get("input_size", (512, 512))
         variables = model.init(
             jax.random.PRNGKey(rng_seed),
             jnp.zeros((1, size[0], size[1], 3), jnp.float32))
-        return cls(model=model, variables=variables, **kwargs)
+        # Pre-cast params to the compute dtype: identical numerics to
+        # flax's per-use cast, half the per-dispatch weight traffic.
+        return cls(model=model, variables=cast_float_tree(variables, dtype),
+                   **kwargs)
 
     def __call__(self, frames: jnp.ndarray) -> Detections:
         """(B, H, W, 3) uint8 frames at display resolution → detections

@@ -192,6 +192,21 @@ def _jitted_embed(embedding_dim: int, dtype: Any):
     return model, embed
 
 
+def cast_float_tree(tree, dtype):
+    """Cast floating-point leaves to the compute dtype ONCE.
+
+    flax modules with ``dtype=bfloat16`` cast f32-stored params to bf16
+    on every forward — which on TPU means streaming the full f32 copy
+    from HBM per dispatch (the 4-checkpoint FaceNet bank is ~370 MB of
+    weight traffic per embed).  Pre-casting is bit-identical to the
+    per-use cast and halves the weight bytes read."""
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 def stack_embedder_params(embedders):
     """Stack the parameter trees of same-architecture embedders for a
     vmapped forward (leading checkpoint axis)."""
@@ -271,8 +286,8 @@ class PooledStackedEmbedders:
         self.names = [e.name for e in embedders]
         self.dtype = embedders[0].dtype
         split = [_split_bottleneck(e.variables) for e in embedders]
-        self.backbone_stack = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[s[0] for s in split])
+        self.backbone_stack = cast_float_tree(jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[s[0] for s in split]), self.dtype)
         self.bottlenecks = tuple(s[1] for s in split)
         self._embed = _jitted_pooled_embed(len(embedders), self.dtype)
 
@@ -289,7 +304,8 @@ class StackedEmbedders:
         assert len(dims) == 1, "stack same-dim embedders only"
         self.names = [e.name for e in embedders]
         self.dtype = embedders[0].dtype
-        self.stacked = stack_embedder_params(embedders)
+        self.stacked = cast_float_tree(stack_embedder_params(embedders),
+                                       self.dtype)
         self._embed = _jitted_stacked_embed(dims.pop(), self.dtype)
 
     def __call__(self, crops) -> jnp.ndarray:
@@ -317,7 +333,9 @@ class FaceNetEmbedder:
             params = self.model.init(
                 jax.random.PRNGKey(rng_seed),
                 jnp.zeros((1, 160, 160, 3), jnp.float32))
-        self.variables = params
+        # Pre-cast to the compute dtype (bit-identical to flax's per-use
+        # cast, without re-streaming the f32 copy every dispatch).
+        self.variables = cast_float_tree(params, dtype)
 
     def __call__(self, crops: jnp.ndarray) -> jnp.ndarray:
         """(N, 160, 160, 3) uint8/float crops → (N, dim) unit vectors."""

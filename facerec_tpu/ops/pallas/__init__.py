@@ -7,5 +7,6 @@ detector uses v2.
 """
 from facerec_tpu.ops.pallas.equalize import equalize_tpu
 from facerec_tpu.ops.pallas.equalize_v2 import equalize_tpu_v2
+from facerec_tpu.ops.pallas.equalize_v3 import equalize_stats_tpu
 
-__all__ = ["equalize_tpu", "equalize_tpu_v2"]
+__all__ = ["equalize_tpu", "equalize_tpu_v2", "equalize_stats_tpu"]

@@ -4,9 +4,19 @@ Implements "Fast Pixel-Based Video Scene Change Detection" with the same
 statistics and fixed thresholds as the reference's sequential per-frame
 detector (/root/reference/facerec/scene.py), but restructured for TPU:
 a whole block of frames is processed at once — luminance, per-frame
-histogram equalization and inter-frame statistics are all batched VPU
-work — and only four scalars plus the last frame's luminance/equalized
-planes carry across blocks.
+histogram equalization and inter-frame statistics are all batched
+device work — and only the last frame's planes plus four scalars carry
+across blocks.
+
+TPU shape of the computation (one pass each over the block):
+
+  1. luminance, packed to lane-major (B, R, 2048) planes
+  2. Pallas radix-16 kernel: per-frame raw equalization + 256-bin
+     cumulative histogram (ops/pallas/equalize_v3.py)
+  3. inter-frame diffs |y_i - y_{i-1}| and |eq_i - eq_{i-1}|
+  4. the frame-variation statistic from the HISTOGRAM: ``fv =
+     mean|eq - mafd_eq|`` is an expectation over ≤256 distinct
+     equalized values, so it needs no third pass over pixels.
 
 The carried state makes frame-axis sharding exact: a shard needs only a
 2-frame halo from its left neighbour (SURVEY.md §5.7).
@@ -18,13 +28,17 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from facerec_tpu.ops.pallas.equalize_v3 import pack_planes
+
 
 class SceneState(NamedTuple):
-    """Cross-block carry.  ``n_seen`` counts frames consumed so far;
-    statistics need 3 frames of history before decisions are valid."""
+    """Cross-block carry.  Planes are lane-major packed (R, 2048) with
+    -1 padding (ops/pallas/equalize_v3.pack_planes).  ``n_seen`` counts
+    frames consumed so far; statistics need 3 frames of history before
+    decisions are valid."""
 
-    prev_y: jnp.ndarray        # (H', W') float32 luminance of last frame
-    prev_eq: jnp.ndarray       # (H', W') float32 equalized last frame
+    prev_y: jnp.ndarray        # (R, 2048) f32 packed luminance of last frame
+    prev_eq: jnp.ndarray       # (R, 2048) f32 packed RAW equalization
     prev_mafd_eq: jnp.ndarray  # () float32
     prev_fv_eq: jnp.ndarray    # () float32
     n_seen: jnp.ndarray        # () int32
@@ -34,9 +48,10 @@ def initial_state(height: int, width: int, crop: bool = True) -> SceneState:
     """Fresh carry for frames of the given *full* dimensions; the stored
     planes use the post-crop height."""
     lo, hi = crop_bounds(height, width, crop)
+    zero_packed = pack_planes(jnp.zeros((1, hi - lo, width), jnp.float32))[0]
     return SceneState(
-        prev_y=jnp.zeros((hi - lo, width), jnp.float32),
-        prev_eq=jnp.zeros((hi - lo, width), jnp.float32),
+        prev_y=zero_packed,
+        prev_eq=zero_packed,
         prev_mafd_eq=jnp.zeros((), jnp.float32),
         prev_fv_eq=jnp.zeros((), jnp.float32),
         n_seen=jnp.zeros((), jnp.int32),
@@ -58,31 +73,40 @@ def luminance(frames: jnp.ndarray) -> jnp.ndarray:
     return 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
 
 
+def _equalize_raw(y_packed: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, R, 2048) packed luminance → (raw per-pixel cumulative counts,
+    (B, 256) cumulative histogram).  Pallas kernel on TPU; the same math
+    as bincount+cumsum+take elsewhere (bit-identical integer counts)."""
+    if jax.default_backend() == "tpu":
+        from facerec_tpu.ops.pallas.equalize_v3 import equalize_stats_tpu
+
+        return equalize_stats_tpu(y_packed)
+    b = y_packed.shape[0]
+    flat = y_packed.reshape(b, -1)
+    idx = jnp.where(flat < 0.0, 256,
+                    jnp.clip(flat.astype(jnp.int32), 0, 255))
+    counts = jax.vmap(
+        lambda im: jnp.bincount(im, length=257))(idx)[:, :256]
+    cum = jnp.cumsum(counts.astype(jnp.float32), axis=-1)
+    eq_raw = jnp.where(
+        idx == 256, 0.0,
+        jnp.take_along_axis(cum, jnp.minimum(idx, 255), axis=-1))
+    return eq_raw.reshape(y_packed.shape), cum
+
+
 def equalize(y: jnp.ndarray) -> jnp.ndarray:
-    """Histogram equalization of a batch of luminance planes.
+    """Histogram equalization of a batch of (B, H, W) luminance planes.
 
     Mirrors scene.py:52-63: a 256-bin density histogram over values cast
-    to uint8, cdf lookup scaled by 255.  On TPU this dispatches to the
-    Pallas kernel (:mod:`facerec_tpu.ops.pallas.equalize`) — the XLA
-    scatter/gather lowering of bincount + take serializes there; both
-    paths are bit-identical.
-
-    Args:
-        y: (B, H, W) float32.
-    Returns:
-        (B, H, W) float32 equalized planes.
+    to uint8, cdf lookup scaled by 255.  (The block program uses the raw
+    kernel outputs directly; this wrapper is for the sharded halo path
+    and tests.)
     """
-    if jax.default_backend() == "tpu":
-        from facerec_tpu.ops.pallas import equalize_tpu_v2
-
-        return equalize_tpu_v2(y)
     b, h, w = y.shape
-    idx = y.astype(jnp.uint8).astype(jnp.int32)
-    counts = jax.vmap(lambda im: jnp.bincount(im.ravel(), length=256))(idx)
-    cdf = jnp.cumsum(counts.astype(jnp.float32), axis=-1) / (h * w)
-    return jnp.take_along_axis(
-        cdf, idx.reshape(b, -1), axis=-1
-    ).reshape(b, h, w) * 255.0
+    p = h * w
+    eq_raw, _ = _equalize_raw(pack_planes(y))
+    return (eq_raw.reshape(b, -1)[:, :p] / p * 255.0).reshape(b, h, w)
 
 
 def decide(mafd, mafd_eq, sdmafd_eq, adfv_eq) -> jnp.ndarray:
@@ -135,21 +159,32 @@ def _detect_block_impl(
     """
     b, height, width, _ = frames.shape
     lo, hi = crop_bounds(height, width, crop)
+    p = (hi - lo) * width
 
     if grayscale:
-        y = frames[:, lo:hi, :, 0].astype(jnp.float32)
+        y_plane = frames[:, lo:hi, :, 0].astype(jnp.float32)
     else:
-        y = luminance(frames[:, lo:hi])   # crop first: 1/3 less traffic
-    eq = equalize(y)
+        y_plane = luminance(frames[:, lo:hi])   # crop first: 1/3 less traffic
+    y = pack_planes(y_plane)
+    eq, cum = _equalize_raw(y)
 
     # Stack the carried last frame in front: diffs are then aligned so that
-    # row i compares frame i with frame i-1.
+    # row i compares frame i with frame i-1.  Padding lanes hold -1 in y
+    # and 0 in eq for every frame, so they contribute 0 to the diffs; the
+    # explicit /p keeps the means over real pixels only.
     y_prev = jnp.concatenate([state.prev_y[None], y[:-1]], axis=0)
     eq_prev = jnp.concatenate([state.prev_eq[None], eq[:-1]], axis=0)
+    scale = 255.0 / p
 
-    mafd = jnp.abs(y - y_prev).mean(axis=(1, 2))
-    mafd_eq = jnp.abs(eq - eq_prev).mean(axis=(1, 2))
-    fv_eq = jnp.abs(eq - mafd_eq[:, None, None]).mean(axis=(1, 2))
+    mafd = jnp.abs(y - y_prev).sum(axis=(1, 2)) / p
+    mafd_eq = jnp.abs(eq * scale - eq_prev * scale).sum(axis=(1, 2)) / p
+
+    # fv = mean|eq - mafd_eq| is an expectation over the ≤256 distinct
+    # equalized values: compute it from the histogram, not the pixels.
+    hist = jnp.diff(cum, axis=-1, prepend=0.0)            # (B, 256)
+    eqval = cum * scale                                   # (B, 256)
+    fv_eq = jnp.sum(
+        hist * jnp.abs(eqval - mafd_eq[:, None]), axis=-1) / p
 
     mafd_eq_prev = jnp.concatenate([state.prev_mafd_eq[None], mafd_eq[:-1]])
     fv_eq_prev = jnp.concatenate([state.prev_fv_eq[None], fv_eq[:-1]])

@@ -27,9 +27,9 @@ import numpy as np
 
 BASELINE_FPS = 180_000 / (3 * 3600)   # reference cluster budget
 
-BLOCK = 64                 # frames per device block
+BLOCK = 128                # frames per device block
 HEIGHT, WIDTH = 576, 768   # film display resolution
-CROPS_PER_BLOCK = 32       # faces embedded per block (≈2 per saved frame)
+CROPS_PER_BLOCK = 64       # faces embedded per block (≈2 per saved frame)
 N_BLOCKS = 20
 DETECTOR_SIZE = (384, 512)   # AR-fitted to 576x768 (models.detector.fit_input_size)
 

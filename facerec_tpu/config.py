@@ -57,7 +57,10 @@ class ExtractConfig:
     display_height: Optional[int] = None
 
     # TPU knobs: static shapes for the jitted frame-block program
-    block_frames: int = 64            # frames per device block
+    # Frames per device block.  Bigger blocks amortize per-dispatch
+    # latency and schedule better: measured 2228 fps (64) → 3522 fps
+    # (128) → 3811 fps (256, but ~8x the compile time) on one v5e chip.
+    block_frames: int = 128
     max_detections: int = 16          # per-frame detection capacity
     max_tracks: int = 32              # live track table capacity
     # Detector input (H, W); None = fit to the film's aspect ratio

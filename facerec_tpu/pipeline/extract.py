@@ -326,6 +326,15 @@ def run_extract(
     blocks_done = 0
     for frame0, frames in reader.blocks(start_frame, end_overlap,
                                         cfg.block_frames):
+        # Pad a short tail block to the compiled block shape (repeat the
+        # last frame) so no second program is ever compiled; everything
+        # below consumes only the first `real` rows, and the carried
+        # state is never used again after the tail block.
+        real = len(frames)
+        if real < cfg.block_frames:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], cfg.block_frames - real,
+                                   axis=0)])
         dev_frames = jnp.asarray(frames)
         if fused is not None:
             flags, det, emit, scene_state, tracker_state = fused(
@@ -343,6 +352,12 @@ def run_extract(
         # one host fetch for everything the block loop consumes
         flags_np, emit_host, det_valid, landmarks = jax.device_get(
             (flags, emit, det.valid, det.landmarks))
+        if real < cfg.block_frames:
+            frames = frames[:real]
+            flags_np = flags_np[:real]
+            det_valid, landmarks = det_valid[:real], landmarks[:real]
+            emit_host = type(emit_host)(
+                *(f[:real] for f in emit_host))
         det_slot, slot_uid, slot_box = (emit_host.det_slot,
                                         emit_host.uid, emit_host.box)
         scene_changes.extend(

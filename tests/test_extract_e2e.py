@@ -181,3 +181,23 @@ def test_full_pipeline(clip, tmp_path):
         assert os.path.exists(os.path.join(d, name)), name
     preds = json.load(open(os.path.join(d, "predictions.json")))
     assert preds["movie_id"] == 125261
+
+
+def test_block_size_invariance(clip, tmp_path):
+    """Padded-tail blocks (block larger than the remaining frames) must
+    produce byte-identical contract files to small exact blocks."""
+    import filecmp
+
+    out_a = str(tmp_path / "b16")
+    out_b = str(tmp_path / "b64")
+    extract_all(clip, out_a, block_frames=16, save_images=False)
+    # 60-frame film, one 64-frame padded block (and padded shard tails)
+    extract_all(clip, out_b, block_frames=64, save_images=False)
+    da, db = f"{out_a}/125261-data", f"{out_b}/125261-data"
+    for sub in ("trajectories", "features", "scene_changes"):
+        fa = sorted(os.listdir(f"{da}/{sub}"))
+        fb = sorted(os.listdir(f"{db}/{sub}"))
+        assert fa == fb
+        for f in fa:
+            assert filecmp.cmp(f"{da}/{sub}/{f}", f"{db}/{sub}/{f}",
+                               shallow=False), (sub, f)

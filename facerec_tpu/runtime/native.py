@@ -39,7 +39,7 @@ def decode_lib():
             lib.frd_open.restype = ctypes.c_void_p
             lib.frd_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
-                                     ctypes.c_int]
+                                     ctypes.c_int, ctypes.c_int]
             lib.frd_info.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_int64)]
             lib.frd_start.argtypes = [ctypes.c_void_p, ctypes.c_int64,
@@ -76,18 +76,25 @@ def available() -> Tuple[bool, bool]:
 
 
 class NativeVideoReader:
-    """Background-thread block decoder (drop-in for
-    :class:`facerec_tpu.video.reader.VideoReader` block iteration)."""
+    """Multi-worker block decoder (drop-in for
+    :class:`facerec_tpu.video.reader.VideoReader` block iteration).
+
+    ``n_workers`` decoder threads each own a demuxer and claim frame
+    blocks round-robin; delivery stays strictly in order.  0 = auto
+    (min(4, hardware threads)); ``FACEREC_DECODE_WORKERS`` overrides."""
 
     def __init__(self, path: str, display_w: int, display_h: int,
-                 block_frames: int, ring_blocks: int = 3):
+                 block_frames: int, ring_blocks: int = 3,
+                 n_workers: int = 0):
         lib = decode_lib()
         if lib is None:
             raise RuntimeError("native decoder not built "
                                "(make -C native)")
+        if n_workers == 0:
+            n_workers = int(os.environ.get("FACEREC_DECODE_WORKERS", "0"))
         self.lib = lib
         self.handle = lib.frd_open(path.encode(), display_w, display_h,
-                                   block_frames, ring_blocks)
+                                   block_frames, ring_blocks, n_workers)
         if not self.handle:
             raise ValueError(f"Invalid video file <{path}>")
         self.display_w = display_w

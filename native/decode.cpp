@@ -1,14 +1,23 @@
 // Native video decode pipeline for facerec-tpu.
 //
-// A background decode thread fills a bounded ring of fixed-size frame
-// blocks (RGB uint8 at display resolution, DAR-resized) while the
-// Python host feeds the previous block to the TPU — the decode/compute
-// overlap the reference gets from separate SLURM processes happens here
-// inside one process (cf. /root/reference/facerec/extract.py:281-300,
-// which decodes synchronously per frame).
+// N worker threads each own a demuxer/decoder instance and claim
+// fixed-size frame blocks round-robin (block index = atomic counter);
+// blocks are delivered to the Python host strictly in order through a
+// bounded reorder window.  With one worker this degenerates to the
+// classic double-buffered sequential decode (a worker only seeks when
+// its claimed block is not contiguous with what it just decoded).
+//
+// Rationale: one TPU chip sustains thousands of frames/sec through the
+// fused extract program, so host-side decode is the production
+// bottleneck — the reference solves this with 100 SLURM processes
+// (/root/reference/scripts/extract.sh:12); here the same frame-range
+// parallelism lives inside one process as decoder threads
+// (cf. /root/reference/facerec/extract.py:281-300, which decodes
+// synchronously one frame at a time).
 //
 // C ABI (ctypes-friendly):
-//   frd_open(path, display_w, display_h, block_frames, ring_blocks)
+//   frd_open(path, display_w, display_h, block_frames, ring_blocks,
+//            n_workers)                      (n_workers<=0: auto)
 //   frd_info(handle, out_int64[4])   -> n_frames, width, height, fps_x1000
 //   frd_start(handle, begin_frame, end_frame)
 //   frd_next_block(handle, buf, out_first_frame) -> frames in block (0 = end)
@@ -16,11 +25,12 @@
 //
 // Build: make -C native   (g++ + OpenCV videoio/imgproc)
 
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
-#include <deque>
+#include <map>
 #include <memory>
 #include <mutex>
 #include <thread>
@@ -39,47 +49,83 @@ struct Block {
 };
 
 struct Decoder {
-  cv::VideoCapture cap;
+  std::string path;
+  cv::VideoCapture probe;
   int display_w = 0;
   int display_h = 0;
   int block_frames = 0;
-  size_t ring_blocks = 0;
+  int64_t ring_blocks = 0;
+  int n_workers = 1;
 
   int64_t n_frames = 0;
   int storage_w = 0;
   int storage_h = 0;
   double fps = 0.0;
 
-  std::thread worker;
+  int64_t begin_ = 0, end_ = 0;
+  std::vector<std::thread> workers;
   std::mutex mu;
-  std::condition_variable cv_ready;   // consumer waits: block available
-  std::condition_variable cv_space;   // producer waits: ring has space
-  std::deque<std::unique_ptr<Block>> ready;
+  std::condition_variable cv_ready;   // consumer waits: next block present
+  std::condition_variable cv_space;   // workers wait: reorder window space
+  std::map<int64_t, std::unique_ptr<Block>> ready;  // block idx -> block
+  int64_t next_emit = 0;              // next block idx for the consumer
+  std::atomic<int64_t> next_claim{0};
   std::atomic<bool> stop{false};
-  bool finished = false;
+  int active_workers = 0;
+  bool drained = false;               // short/failed block seen: stop after
 
   ~Decoder() { shutdown(); }
 
   void shutdown() {
     stop.store(true);
     cv_space.notify_all();
-    if (worker.joinable()) worker.join();
-    cap.release();
+    cv_ready.notify_all();
+    for (auto& w : workers)
+      if (w.joinable()) w.join();
+    workers.clear();
+    probe.release();
   }
 
-  void decode_range(int64_t begin, int64_t end) {
-    cap.set(cv::CAP_PROP_POS_FRAMES, static_cast<double>(begin));
+  int expected_frames(int64_t idx) const {
+    const int64_t first = begin_ + idx * block_frames;
+    const int64_t want = std::min<int64_t>(block_frames, end_ - first);
+    return static_cast<int>(want);
+  }
+
+  void worker_loop() {
+    cv::VideoCapture cap;
+    if (!cap.open(path)) {
+      finish_worker();
+      return;
+    }
     const size_t frame_bytes =
         static_cast<size_t>(display_w) * display_h * 3;
-    int64_t next = begin;
+    int64_t pos = -1;  // frame index the capture will read next
     cv::Mat bgr, resized, rgb;
-    while (!stop.load() && next < end) {
+    while (!stop.load()) {
+      const int64_t idx = next_claim.fetch_add(1);
+      const int64_t first = begin_ + idx * block_frames;
+      if (first >= end_) break;
+      {
+        // Bounded reorder window: never run more than ring_blocks ahead
+        // of the consumer.
+        std::unique_lock<std::mutex> lk(mu);
+        cv_space.wait(lk, [&] {
+          return stop.load() || idx < next_emit + ring_blocks;
+        });
+        if (stop.load()) break;
+      }
+      if (pos != first) {
+        cap.set(cv::CAP_PROP_POS_FRAMES, static_cast<double>(first));
+        pos = first;
+      }
       auto block = std::make_unique<Block>();
-      block->first_frame = next;
+      block->first_frame = first;
       block->data.resize(static_cast<size_t>(block_frames) * frame_bytes);
+      const int64_t end_here = std::min<int64_t>(first + block_frames, end_);
       int got = 0;
-      while (got < block_frames && next < end) {
-        if (!cap.read(bgr)) { next = end; break; }
+      while (pos < end_here) {
+        if (!cap.read(bgr)) break;
         cv::Mat* src = &bgr;
         if (bgr.cols != display_w || bgr.rows != display_h) {
           cv::resize(bgr, resized, cv::Size(display_w, display_h));
@@ -89,23 +135,23 @@ struct Decoder {
         std::memcpy(block->data.data() + got * frame_bytes, rgb.data,
                     frame_bytes);
         ++got;
-        ++next;
+        ++pos;
       }
       block->n_frames = got;
-      if (got == 0) break;
       {
-        std::unique_lock<std::mutex> lk(mu);
-        cv_space.wait(lk, [&] {
-          return stop.load() || ready.size() < ring_blocks;
-        });
-        if (stop.load()) return;
-        ready.push_back(std::move(block));
+        std::lock_guard<std::mutex> lk(mu);
+        ready[idx] = std::move(block);
       }
-      cv_ready.notify_one();
+      cv_ready.notify_all();
     }
+    cap.release();
+    finish_worker();
+  }
+
+  void finish_worker() {
     {
       std::lock_guard<std::mutex> lk(mu);
-      finished = true;
+      --active_workers;
     }
     cv_ready.notify_all();
   }
@@ -116,18 +162,25 @@ struct Decoder {
 extern "C" {
 
 void* frd_open(const char* path, int display_w, int display_h,
-               int block_frames, int ring_blocks) {
+               int block_frames, int ring_blocks, int n_workers) {
   auto d = std::make_unique<Decoder>();
-  if (!d->cap.open(path)) return nullptr;
-  d->n_frames = static_cast<int64_t>(d->cap.get(cv::CAP_PROP_FRAME_COUNT));
+  d->path = path;
+  if (!d->probe.open(d->path)) return nullptr;
+  d->n_frames = static_cast<int64_t>(d->probe.get(cv::CAP_PROP_FRAME_COUNT));
   if (d->n_frames <= 0) return nullptr;
-  d->storage_w = static_cast<int>(d->cap.get(cv::CAP_PROP_FRAME_WIDTH));
-  d->storage_h = static_cast<int>(d->cap.get(cv::CAP_PROP_FRAME_HEIGHT));
-  d->fps = d->cap.get(cv::CAP_PROP_FPS);
+  d->storage_w = static_cast<int>(d->probe.get(cv::CAP_PROP_FRAME_WIDTH));
+  d->storage_h = static_cast<int>(d->probe.get(cv::CAP_PROP_FRAME_HEIGHT));
+  d->fps = d->probe.get(cv::CAP_PROP_FPS);
   d->display_w = display_w > 0 ? display_w : d->storage_w;
   d->display_h = display_h > 0 ? display_h : d->storage_h;
   d->block_frames = block_frames;
-  d->ring_blocks = static_cast<size_t>(ring_blocks > 0 ? ring_blocks : 2);
+  if (n_workers <= 0) {
+    const unsigned hw = std::thread::hardware_concurrency();
+    n_workers = static_cast<int>(hw > 4 ? 4 : (hw ? hw : 1));
+  }
+  d->n_workers = n_workers;
+  const int64_t min_ring = static_cast<int64_t>(n_workers) + 1;
+  d->ring_blocks = ring_blocks > min_ring ? ring_blocks : min_ring;
   return d.release();
 }
 
@@ -141,7 +194,11 @@ void frd_info(void* handle, int64_t* out4) {
 
 void frd_start(void* handle, int64_t begin, int64_t end) {
   auto* d = static_cast<Decoder*>(handle);
-  d->worker = std::thread([d, begin, end] { d->decode_range(begin, end); });
+  d->begin_ = begin;
+  d->end_ = end;
+  d->active_workers = d->n_workers;
+  for (int i = 0; i < d->n_workers; ++i)
+    d->workers.emplace_back([d] { d->worker_loop(); });
 }
 
 int frd_next_block(void* handle, uint8_t* buf, int64_t* out_first_frame) {
@@ -149,12 +206,22 @@ int frd_next_block(void* handle, uint8_t* buf, int64_t* out_first_frame) {
   std::unique_ptr<Block> block;
   {
     std::unique_lock<std::mutex> lk(d->mu);
-    d->cv_ready.wait(lk, [&] { return !d->ready.empty() || d->finished; });
-    if (d->ready.empty()) return 0;
-    block = std::move(d->ready.front());
-    d->ready.pop_front();
+    if (d->drained) return 0;
+    d->cv_ready.wait(lk, [&] {
+      return d->ready.count(d->next_emit) || d->active_workers == 0 ||
+             d->stop.load();
+    });
+    auto it = d->ready.find(d->next_emit);
+    if (it == d->ready.end()) return 0;  // all workers done, nothing next
+    block = std::move(it->second);
+    d->ready.erase(it);
+    // A short block means decode failed mid-range (or hit the true end
+    // of the file): emit it, then stop — matching sequential behavior.
+    if (block->n_frames < d->expected_frames(d->next_emit)) d->drained = true;
+    ++d->next_emit;
   }
-  d->cv_space.notify_one();
+  d->cv_space.notify_all();
+  if (block->n_frames == 0) return 0;
   const size_t frame_bytes =
       static_cast<size_t>(d->display_w) * d->display_h * 3;
   std::memcpy(buf, block->data.data(), block->n_frames * frame_bytes);

@@ -6,6 +6,8 @@ device-side op durations — the ground truth for any optimization work
 (host-side timing of single dispatches is dominated by enqueue/tunnel
 latency and lies).  Usage: python scripts/profile_block.py
 """
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import glob, gzip, json, os, sys, time
 import numpy as np
 from facerec_tpu.runtime import ensure_platform
@@ -20,8 +22,8 @@ from facerec_tpu.track.tracker import _run_block_impl
 
 def log(m): print(m, file=sys.stderr, flush=True)
 
-BLOCK, H, W = 64, 576, 768
-CROPS = 32
+BLOCK, H, W = 128, 576, 768
+CROPS = 64
 dt = jnp.bfloat16
 detector = DetectorHarness.create(input_size=(384, 512), max_detections=16,
                                   score_threshold=0.95, dtype=dt)

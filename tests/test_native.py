@@ -64,3 +64,24 @@ def test_native_jpeg_writer(tmp_path, rng):
     assert np.abs(a[..., ::-1].astype(int) - rgb.astype(int)).mean() < 12
     b = cv2.imread(str(tmp_path / "b.jpeg"), cv2.IMREAD_UNCHANGED)
     assert b is not None and b.shape == (20, 24)
+
+
+@pytest.mark.parametrize("workers", [1, 3])
+def test_native_parallel_decode_matches(clip, workers):
+    """Multi-worker decode (per-worker demuxer, seek-per-block) delivers
+    the exact same blocks, in order, as the sequential path."""
+    info = probe_video(clip.path)
+    seq = native.NativeVideoReader(clip.path, info.display_width,
+                                   info.display_height, 8, n_workers=1)
+    seq_blocks = list(seq.blocks(3, 28))
+    seq.close()
+
+    par = native.NativeVideoReader(clip.path, info.display_width,
+                                   info.display_height, 8,
+                                   n_workers=workers)
+    par_blocks = list(par.blocks(3, 28))
+    par.close()
+
+    assert [f for f, _ in par_blocks] == [f for f, _ in seq_blocks]
+    for (_, a), (_, b) in zip(par_blocks, seq_blocks):
+        np.testing.assert_array_equal(a, b)

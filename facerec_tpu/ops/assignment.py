@@ -166,8 +166,11 @@ def associate(
     best = jnp.argmax(utility, axis=1).astype(jnp.int32)
     best_val = jnp.max(utility, axis=1)
     tied = jnp.sum(utility == best_val[:, None], axis=1) > 1
-    taken = jnp.zeros((t,), jnp.int32).at[best].add(
-        active.astype(jnp.int32))
+    # Column-collision count as a compare matrix, not a scatter-add
+    # (scatters serialize on TPU and this runs once per scanned frame).
+    taken = jnp.sum(
+        active[:, None] & (best[:, None] == jnp.arange(t)[None, :]),
+        axis=0)
     fast_ok = ~jnp.any(taken > 1) & ~jnp.any(tied & active)
     fast = jnp.where(active, best, -1)
     return lax.cond(fast_ok, lambda _: fast, solve, None)

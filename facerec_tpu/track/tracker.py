@@ -123,12 +123,20 @@ def step(
     det_slot = assignment.associate(iou, det_valid, was_active,
                                     cfg.iou_threshold)
 
-    # 4. Scatter matches to slots and update the Kalman posteriors.
-    scatter_idx = jnp.where(det_slot >= 0, det_slot, t)
-    slot_det = jnp.full((t,), -1, jnp.int32).at[scatter_idx].set(
-        arange_d, mode="drop")
-    matched = slot_det >= 0
-    z = boxes.box_to_z(det_boxes)[jnp.clip(slot_det, 0, d - 1)]
+    # 4. Invert the detection→slot assignment and update the Kalman
+    # posteriors.  The inversion is a (T, D) one-hot compare matrix
+    # instead of scatter/gather: scatters serialize on TPU (~µs each)
+    # and this runs inside a 64-step scan.
+    # Invalid padding boxes are degenerate (0/0 aspect → NaN); zero them
+    # so the one-hot selection matmuls below stay NaN-free (NaN·0 = NaN).
+    zd = boxes.box_to_z(det_boxes)                       # (D, 4)
+    zd = jnp.where(jnp.isfinite(zd), zd, 0.0)
+    match_eq = (det_slot[None, :] == arange_t[:, None]) & (
+        det_slot[None, :] >= 0)                          # (T, D), ≤1 per row
+    matched = match_eq.any(axis=1)
+    slot_det = jnp.where(
+        matched, jnp.argmax(match_eq, axis=1).astype(jnp.int32), -1)
+    z = match_eq.astype(zd.dtype) @ zd                   # rows 0 if unmatched
     kf = kalman.update(kf, z, matched)
     hits = jnp.where(matched, state.hits + 1, state.hits)
     tsu = jnp.where(matched, 0, tsu)
@@ -150,22 +158,24 @@ def step(
     will_spawn = unmatched & (spawn_rank < n_free)
     overflow = jnp.sum((unmatched & ~will_spawn).astype(jnp.int32))
 
-    # r-th free slot index, in slot order: scatter free slot ids into
-    # compact rank positions (cheaper than argsort inside the scan)
+    # Pair the r-th spawning detection with the r-th free slot, again as
+    # a (T, D) one-hot compare (scatter-free): slot t takes detection d
+    # iff both sit at the same free/spawn rank.
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    free_order = jnp.full((t,), t, jnp.int32).at[
-        jnp.where(free, free_rank, t)].set(arange_t, mode="drop")
-    slot_for_det = free_order[jnp.clip(spawn_rank, 0, t - 1)].astype(jnp.int32)
-    spawn_scatter = jnp.where(will_spawn, slot_for_det, t)
-    spawn_det = jnp.full((t,), -1, jnp.int32).at[spawn_scatter].set(
-        arange_d, mode="drop")
-    spawned = spawn_det >= 0
+    spawn_eq = (free[:, None] & will_spawn[None, :] &
+                (free_rank[:, None] == spawn_rank[None, :]))  # (T, D)
+    spawned = spawn_eq.any(axis=1)
+    spawn_det = jnp.where(
+        spawned, jnp.argmax(spawn_eq, axis=1).astype(jnp.int32), -1)
+    slot_for_det = jnp.sum(
+        spawn_eq.astype(jnp.int32) * arange_t[:, None], axis=0)  # (D,)
 
-    z_new = boxes.box_to_z(det_boxes)[jnp.clip(spawn_det, 0, d - 1)]
+    z_new = spawn_eq.astype(zd.dtype) @ zd
     kf = kalman.reset_tracks(kf, spawned, z_new)
     uid = jnp.where(
         spawned,
-        state.next_uid + spawn_rank[jnp.clip(spawn_det, 0, d - 1)],
+        state.next_uid + jnp.sum(
+            spawn_eq.astype(jnp.int32) * spawn_rank[None, :], axis=1),
         state.uid,
     )
     first_frame = jnp.where(spawned, frame, state.first_frame)

@@ -47,12 +47,16 @@ def _prefix16(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(y_ref, eq_ref, cum_ref):
-    """One frame: y_ref (1, R, 2048) f32 luminance (padding < 0);
-    eq_ref (1, R, 2048) f32 raw cumulative count per pixel;
-    cum_ref (1, 16, 16) f32 cumulative histogram (row-major 256)."""
-    _, r, _ = y_ref.shape
+    """One frame: y_ref (1, R, W) f32 luminance (padding < 0);
+    eq_ref (1, R, W) f32 raw cumulative count per pixel;
+    cum_ref (1, 16, 16) f32 cumulative histogram (row-major 256).
+
+    W is the plane's native width — the kernel runs on whatever lane
+    count the luminance pass produced, so no relayout to a fixed
+    2048-lane packing sits between them."""
+    _, r, w = y_ref.shape
     n_steps = r // _ROWS
-    iot = jax.lax.broadcasted_iota(jnp.int32, (_NIB, _LANES), 0)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (_NIB, w), 0)
 
     def load_idx(g):
         y = y_ref[0, pl.ds(pl.multiple_of(g * _ROWS, _ROWS), _ROWS), :]
@@ -60,9 +64,9 @@ def _kernel(y_ref, eq_ref, cum_ref):
         return jnp.where(y < 0.0, 256, idx)
 
     def nibbles(tile, i):
-        row = jax.lax.slice(tile, (i, 0), (i + 1, _LANES))  # (1, LANES)
-        hi = jnp.broadcast_to(row // _NIB, (_NIB, _LANES))
-        lo = jnp.broadcast_to(row % _NIB, (_NIB, _LANES))
+        row = jax.lax.slice(tile, (i, 0), (i + 1, w))       # (1, W)
+        hi = jnp.broadcast_to(row // _NIB, (_NIB, w))
+        lo = jnp.broadcast_to(row % _NIB, (_NIB, w))
         return (hi == iot), (lo == iot), hi
 
     def hist_body(g, carry):
@@ -81,7 +85,7 @@ def _kernel(y_ref, eq_ref, cum_ref):
     hist2d, lt_part = jax.lax.fori_loop(
         0, n_steps, hist_body,
         (jnp.zeros((_NIB, _NIB), jnp.float32),
-         jnp.zeros((_NIB, _LANES), jnp.float32)))
+         jnp.zeros((_NIB, w), jnp.float32)))
     lt = jnp.sum(lt_part, axis=1, keepdims=True)            # (16, 1)
     cdf2d = lt + _prefix16(hist2d)                          # (16, 16)
     cum_ref[0] = cdf2d
@@ -124,26 +128,27 @@ def equalize_stats_tpu(y: jnp.ndarray, interpret: bool = False
     """Raw equalization of packed luminance planes.
 
     Args:
-        y: (B, R, 2048) f32 luminance, row-major packed; padding < 0.
+        y: (B, R, W) f32 luminance planes at native width, rows padded
+            to a multiple of 8 with values < 0.
 
     Returns:
-        (eq_raw, cum): (B, R, 2048) f32 per-pixel cumulative counts
+        (eq_raw, cum): (B, R, W) f32 per-pixel cumulative counts
         (0 at padding) and (B, 256) f32 cumulative histograms counting
         real pixels only.
     """
-    b, r, lanes = y.shape
-    assert lanes == _LANES and r % _ROWS == 0, (r, lanes)
+    b, r, w = y.shape
+    assert r % _ROWS == 0, (r, w)
 
     eq_raw, cum2d = pl.pallas_call(
         _kernel,
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, r, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
+        out_specs=[pl.BlockSpec((1, r, w), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, _NIB, _NIB), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((b, r, w), jnp.float32),
                    jax.ShapeDtypeStruct((b, _NIB, _NIB), jnp.float32)],
         interpret=interpret,
     )(y)
@@ -151,19 +156,10 @@ def equalize_stats_tpu(y: jnp.ndarray, interpret: bool = False
 
 
 def pack_planes(y: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W) f32 → (B, R, 2048) row-major packed, padded with -1."""
+    """(B, H, W) f32 → (B, R, W): rows padded to a multiple of 8 with
+    -1 (kernel padding sentinel).  Width stays native — no relayout."""
     b, h, w = y.shape
-    p = h * w
-    chunk = _LANES * _ROWS
-    pp = ((p + chunk - 1) // chunk) * chunk
-    flat = y.reshape(b, p)
-    if pp != p:
-        flat = jnp.pad(flat, ((0, 0), (0, pp - p)), constant_values=-1.0)
-    return flat.reshape(b, pp // _LANES, _LANES)
-
-
-def packed_rows(height: int, width: int) -> int:
-    """Static R of :func:`pack_planes` output for an HxW plane."""
-    p = height * width
-    chunk = _LANES * _ROWS
-    return ((p + chunk - 1) // chunk) * chunk // _LANES
+    hp = ((h + _ROWS - 1) // _ROWS) * _ROWS
+    if hp != h:
+        y = jnp.pad(y, ((0, 0), (0, hp - h), (0, 0)), constant_values=-1.0)
+    return y

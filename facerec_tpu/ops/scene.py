@@ -10,7 +10,8 @@ across blocks.
 
 TPU shape of the computation (one pass each over the block):
 
-  1. luminance, packed to lane-major (B, R, 2048) planes
+  1. luminance at native width (rows padded to the kernel's sublane
+     multiple — no relayout)
   2. Pallas radix-16 kernel: per-frame raw equalization + 256-bin
      cumulative histogram (ops/pallas/equalize_v3.py)
   3. inter-frame diffs |y_i - y_{i-1}| and |eq_i - eq_{i-1}|
@@ -32,13 +33,13 @@ from facerec_tpu.ops.pallas.equalize_v3 import pack_planes
 
 
 class SceneState(NamedTuple):
-    """Cross-block carry.  Planes are lane-major packed (R, 2048) with
-    -1 padding (ops/pallas/equalize_v3.pack_planes).  ``n_seen`` counts
-    frames consumed so far; statistics need 3 frames of history before
-    decisions are valid."""
+    """Cross-block carry.  Planes are native-width (R, W) with rows
+    padded to a multiple of 8 by -1 (equalize_v3.pack_planes).
+    ``n_seen`` counts frames consumed so far; statistics need 3 frames
+    of history before decisions are valid."""
 
-    prev_y: jnp.ndarray        # (R, 2048) f32 packed luminance of last frame
-    prev_eq: jnp.ndarray       # (R, 2048) f32 packed RAW equalization
+    prev_y: jnp.ndarray        # (R, W) f32 luminance of last frame
+    prev_eq: jnp.ndarray       # (R, W) f32 RAW equalization of last frame
     prev_mafd_eq: jnp.ndarray  # () float32
     prev_fv_eq: jnp.ndarray    # () float32
     n_seen: jnp.ndarray        # () int32
@@ -75,9 +76,10 @@ def luminance(frames: jnp.ndarray) -> jnp.ndarray:
 
 def _equalize_raw(y_packed: jnp.ndarray
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B, R, 2048) packed luminance → (raw per-pixel cumulative counts,
-    (B, 256) cumulative histogram).  Pallas kernel on TPU; the same math
-    as bincount+cumsum+take elsewhere (bit-identical integer counts)."""
+    """(B, R, W) row-padded luminance → (raw per-pixel cumulative
+    counts, (B, 256) cumulative histogram).  Pallas kernel on TPU; the
+    same math as bincount+cumsum+take elsewhere (bit-identical integer
+    counts)."""
     if jax.default_backend() == "tpu":
         from facerec_tpu.ops.pallas.equalize_v3 import equalize_stats_tpu
 
@@ -168,16 +170,21 @@ def _detect_block_impl(
     y = pack_planes(y_plane)
     eq, cum = _equalize_raw(y)
 
-    # Stack the carried last frame in front: diffs are then aligned so that
-    # row i compares frame i with frame i-1.  Padding lanes hold -1 in y
-    # and 0 in eq for every frame, so they contribute 0 to the diffs; the
-    # explicit /p keeps the means over real pixels only.
-    y_prev = jnp.concatenate([state.prev_y[None], y[:-1]], axis=0)
-    eq_prev = jnp.concatenate([state.prev_eq[None], eq[:-1]], axis=0)
+    # Inter-frame diffs: in-block pairs read two offset slices of the
+    # same buffer (no shifted full-plane copy is materialized, unlike a
+    # concat-with-carry formulation); the carry pair is one extra small
+    # op.  Padding rows hold -1 in y and 0 in eq for every frame, so
+    # they contribute 0 to the diffs; the explicit /p keeps the means
+    # over real pixels only.
     scale = 255.0 / p
 
-    mafd = jnp.abs(y - y_prev).sum(axis=(1, 2)) / p
-    mafd_eq = jnp.abs(eq * scale - eq_prev * scale).sum(axis=(1, 2)) / p
+    def diffs(cur, prev_plane, s=1.0):
+        inb = jnp.abs(cur[1:] * s - cur[:-1] * s).sum(axis=(1, 2))
+        carry = jnp.abs(cur[0] * s - prev_plane * s).sum()
+        return jnp.concatenate([carry[None], inb]) / p
+
+    mafd = diffs(y, state.prev_y)
+    mafd_eq = diffs(eq, state.prev_eq, scale)
 
     # fv = mean|eq - mafd_eq| is an expectation over the ≤256 distinct
     # equalized values: compute it from the histogram, not the pixels.

@@ -138,6 +138,17 @@ def equalize_stats_tpu(y: jnp.ndarray, interpret: bool = False
     """
     b, r, w = y.shape
     assert r % _ROWS == 0, (r, w)
+    # One frame's plane lives in VMEM twice (input + output block).
+    # SD/HD film planes are ≤ ~4 MB; ~8 MB/plane is the practical
+    # ceiling on v5e (16 MB VMEM).  Guard with a clear error instead
+    # of an opaque Mosaic allocation failure.
+    plane_bytes = r * w * 4
+    if plane_bytes > 8 * 1024 * 1024:
+        raise ValueError(
+            f"luminance plane {r}x{w} f32 ({plane_bytes/1e6:.0f} MB) "
+            "exceeds the single-frame VMEM budget of the equalize "
+            "kernel; process such films at a reduced display "
+            "resolution (aspect_ratios.csv override)")
 
     eq_raw, cum2d = pl.pallas_call(
         _kernel,

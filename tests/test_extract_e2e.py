@@ -201,3 +201,24 @@ def test_block_size_invariance(clip, tmp_path):
         for f in fa:
             assert filecmp.cmp(f"{da}/{sub}/{f}", f"{db}/{sub}/{f}",
                                shallow=False), (sub, f)
+
+
+def test_odd_geometry_film(tmp_path):
+    """Non-standard frame geometry end to end: odd crop inset, row
+    padding in the scene kernel packing, AR-fitted detector sizing."""
+    path = str(tmp_path / "99-Odd_Film.mp4")
+    clip = make_clip(path, n_frames=40, width=210, height=150,
+                     cuts=(20,), seed=9)
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig(n_shards=1, shard_i=0, block_frames=16,
+                        max_detections=8, save_images=False)
+    run_extract(clip.path, cfg, out,
+                detector=ScriptedDetector(clip, max_detections=8),
+                embedders=StubEmbedderBank())
+    import json as _json
+    sc = _json.load(open(
+        f"{out}/99-data/scene_changes/scene_changes_99_0-40.json"))
+    assert sc["frame_indices"] == [20]
+    trajs = list(open(f"{out}/99-data/trajectories/"
+                      "trajectories_99_0-40.jsonl"))
+    assert trajs

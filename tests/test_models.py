@@ -123,3 +123,11 @@ def test_detector_ar_fitted_input_runs(detector, rng):
     assert det.boxes.shape == (2, 8, 4)
     # boxes map back to display coordinates
     assert float(det.boxes.max()) <= 192.0
+
+
+def test_fit_input_size_small_film_no_upscale():
+    from facerec_tpu.models.detector import fit_input_size
+
+    # frames smaller than the target long side are padded, not upscaled
+    assert fit_input_size(150, 214) == (160, 224)
+    assert fit_input_size(100, 100) == (128, 128)

@@ -4,7 +4,7 @@
 Measures the device path of the extract stage — scene statistics
 (Pallas histogram equalization) + single-stage detection (AR-fitted
 384×512, bf16) + the SORT tracker scan + face crop + 4×FaceNet embedding — as
-ONE fused XLA program per 64-frame block at film display resolution.
+ONE fused XLA program per 128-frame block at film display resolution.
 Blocks are dispatched back-to-back with device-to-device data
 dependencies only; the host syncs once at the end, so the number is
 pure device throughput (what a double-buffered production extract

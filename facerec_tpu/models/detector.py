@@ -255,7 +255,9 @@ class DetectorHarness:
     def _forward(self, variables, frames: jnp.ndarray) -> Detections:
         b, h, w, _ = frames.shape
         ih, iw = self.input_size
-        scale = min(ih / h, iw / w)
+        # Cap at 1: frames smaller than the input are padded, never
+        # upscaled (matches fit_input_size's contract).
+        scale = min(1.0, ih / h, iw / w)
         sh, sw = int(round(h * scale)), int(round(w * scale))
 
         # Letterbox in the model's compute dtype: the f32 resize of a

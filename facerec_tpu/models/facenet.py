@@ -244,11 +244,18 @@ def _split_bottleneck(variables):
         "batch_stats": {k: v for k, v in stats.items()
                         if not k.startswith("Bottleneck")},
     }
+    # The pooled path computes the bottleneck matmul+BN by hand in f32
+    # (unlike the backbone, whose flax modules cast to the compute
+    # dtype anyway) — keep these at full precision even when the
+    # embedder's variables were pre-cast.
     bottleneck = {
-        "kernel": params["Bottleneck"]["kernel"],
-        "bias": params["Bottleneck_BatchNorm"]["bias"],
-        "mean": stats["Bottleneck_BatchNorm"]["mean"],
-        "var": stats["Bottleneck_BatchNorm"]["var"],
+        "kernel": jnp.asarray(params["Bottleneck"]["kernel"], jnp.float32),
+        "bias": jnp.asarray(params["Bottleneck_BatchNorm"]["bias"],
+                            jnp.float32),
+        "mean": jnp.asarray(stats["Bottleneck_BatchNorm"]["mean"],
+                            jnp.float32),
+        "var": jnp.asarray(stats["Bottleneck_BatchNorm"]["var"],
+                           jnp.float32),
     }
     return backbone, bottleneck
 
@@ -286,6 +293,8 @@ class PooledStackedEmbedders:
         self.names = [e.name for e in embedders]
         self.dtype = embedders[0].dtype
         split = [_split_bottleneck(e.variables) for e in embedders]
+        # Variables were already pre-cast by FaceNetEmbedder.__init__;
+        # this stays a no-op safety for externally-built embedders.
         self.backbone_stack = cast_float_tree(jax.tree.map(
             lambda *xs: jnp.stack(xs), *[s[0] for s in split]), self.dtype)
         self.bottlenecks = tuple(s[1] for s in split)

@@ -34,7 +34,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NIB = 16
-_LANES = 2048       # pixels per row-chunk
 _ROWS = 8           # rows per sweep step (sublane-aligned loads)
 
 

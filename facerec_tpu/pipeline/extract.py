@@ -452,7 +452,8 @@ def main(argv=None):
     parser.add_argument("--face-threshold", type=float, default=0.95)
     parser.add_argument("--out-path", type=str, default="./data")
     parser.add_argument("--no-images", action="store_true")
-    parser.add_argument("--block-frames", type=int, default=64)
+    parser.add_argument("--block-frames", type=int,
+                        default=ExtractConfig.block_frames)
     parser.add_argument("file")
     args = parser.parse_args(argv)
 

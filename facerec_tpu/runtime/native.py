@@ -80,8 +80,11 @@ class NativeVideoReader:
     :class:`facerec_tpu.video.reader.VideoReader` block iteration).
 
     ``n_workers`` decoder threads each own a demuxer and claim frame
-    blocks round-robin; delivery stays strictly in order.  0 = auto
-    (min(4, hardware threads)); ``FACEREC_DECODE_WORKERS`` overrides."""
+    blocks round-robin; delivery stays strictly in order.  Default is
+    1 (sequential, no per-block seeks); parallel decode is opt-in via
+    ``n_workers`` or ``FACEREC_DECODE_WORKERS`` because per-block
+    seeking assumes frame-accurate seeks (true for closed-GOP film
+    files — the same assumption shard seeking already makes)."""
 
     def __init__(self, path: str, display_w: int, display_h: int,
                  block_frames: int, ring_blocks: int = 3,
@@ -117,6 +120,10 @@ class NativeVideoReader:
                 self.handle,
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 ctypes.byref(first))
+            if n < 0:
+                raise RuntimeError(
+                    "native decoder: no worker could open the video "
+                    "(fd limit or codec failure)")
             if n == 0:
                 return
             yield int(first.value), buf[:n].copy()

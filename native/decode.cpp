@@ -72,6 +72,7 @@ struct Decoder {
   std::atomic<int64_t> next_claim{0};
   std::atomic<bool> stop{false};
   int active_workers = 0;
+  std::atomic<int> open_failures{0};
   bool drained = false;               // short/failed block seen: stop after
 
   ~Decoder() { shutdown(); }
@@ -95,6 +96,7 @@ struct Decoder {
   void worker_loop() {
     cv::VideoCapture cap;
     if (!cap.open(path)) {
+      open_failures.fetch_add(1);
       finish_worker();
       return;
     }
@@ -103,6 +105,12 @@ struct Decoder {
     int64_t pos = -1;  // frame index the capture will read next
     cv::Mat bgr, resized, rgb;
     while (!stop.load()) {
+      {
+        // Stop claiming once the consumer saw a short block (decode
+        // failure / true end): everything later would be discarded.
+        std::lock_guard<std::mutex> lk(mu);
+        if (drained) break;
+      }
       const int64_t idx = next_claim.fetch_add(1);
       const int64_t first = begin_ + idx * block_frames;
       if (first >= end_) break;
@@ -111,9 +119,9 @@ struct Decoder {
         // of the consumer.
         std::unique_lock<std::mutex> lk(mu);
         cv_space.wait(lk, [&] {
-          return stop.load() || idx < next_emit + ring_blocks;
+          return stop.load() || drained || idx < next_emit + ring_blocks;
         });
-        if (stop.load()) break;
+        if (stop.load() || drained) break;
       }
       if (pos != first) {
         cap.set(cv::CAP_PROP_POS_FRAMES, static_cast<double>(first));
@@ -174,10 +182,13 @@ void* frd_open(const char* path, int display_w, int display_h,
   d->display_w = display_w > 0 ? display_w : d->storage_w;
   d->display_h = display_h > 0 ? display_h : d->storage_h;
   d->block_frames = block_frames;
-  if (n_workers <= 0) {
-    const unsigned hw = std::thread::hardware_concurrency();
-    n_workers = static_cast<int>(hw > 4 ? 4 : (hw ? hw : 1));
-  }
+  // Default to sequential decode: parallel workers seek per claimed
+  // block (CAP_PROP_POS_FRAMES), which is frame-accurate for
+  // closed-GOP content (the same assumption the shard model already
+  // makes when seeking to a shard start) but not guaranteed for every
+  // codec/container — so >1 worker is opt-in via the Python wrapper /
+  // FACEREC_DECODE_WORKERS.
+  if (n_workers <= 0) n_workers = 1;
   d->n_workers = n_workers;
   const int64_t min_ring = static_cast<int64_t>(n_workers) + 1;
   d->ring_blocks = ring_blocks > min_ring ? ring_blocks : min_ring;
@@ -212,7 +223,13 @@ int frd_next_block(void* handle, uint8_t* buf, int64_t* out_first_frame) {
              d->stop.load();
     });
     auto it = d->ready.find(d->next_emit);
-    if (it == d->ready.end()) return 0;  // all workers done, nothing next
+    if (it == d->ready.end()) {
+      // Distinguish "range exhausted" from "no worker could even open
+      // the file" — the latter must be an error, not an empty film.
+      if (d->open_failures.load() == d->n_workers && d->next_emit == 0)
+        return -1;
+      return 0;  // all workers done, nothing next
+    }
     block = std::move(it->second);
     d->ready.erase(it);
     // A short block means decode failed mid-range (or hit the true end

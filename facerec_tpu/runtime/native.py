@@ -87,7 +87,7 @@ class NativeVideoReader:
     files — the same assumption shard seeking already makes)."""
 
     def __init__(self, path: str, display_w: int, display_h: int,
-                 block_frames: int, ring_blocks: int = 3,
+                 block_frames: int, ring_blocks: int = 2,
                  n_workers: int = 0):
         lib = decode_lib()
         if lib is None:

@@ -68,6 +68,11 @@ class ExtractConfig:
     detector_size: Optional[Tuple[int, int]] = None
     compute_dtype: str = "bfloat16"
 
+    # Parallel native decode workers (each seeks per claimed block —
+    # needs frame-accurate seeks; see runtime/native.py). 0 = use
+    # FACEREC_DECODE_WORKERS or sequential.
+    decode_workers: int = 0
+
     # Fault tolerance (SURVEY.md §5.3-5.4): block-granular in-stage
     # checkpoints + idempotent shard completion markers
     checkpoint_every_blocks: int = 0  # 0 = no in-stage checkpoints

@@ -211,7 +211,8 @@ def run_extract(
     resume_state = ckpt.load_checkpoint(ckpt_path) if (
         cfg.resume and cfg.checkpoint_every_blocks > 0) else None
 
-    reader = open_block_reader(file, info, cfg.block_frames)
+    reader = open_block_reader(file, info, cfg.block_frames,
+                               decode_workers=cfg.decode_workers)
     if resume_state is None:
         features_file = open(features_path, "w")
         traj_file = open(traj_path, "w")
@@ -454,6 +455,9 @@ def main(argv=None):
     parser.add_argument("--no-images", action="store_true")
     parser.add_argument("--block-frames", type=int,
                         default=ExtractConfig.block_frames)
+    parser.add_argument("--decode-workers", type=int, default=0,
+                        help="parallel native decode workers "
+                             "(0 = FACEREC_DECODE_WORKERS or sequential)")
     parser.add_argument("file")
     args = parser.parse_args(argv)
 
@@ -466,7 +470,8 @@ def main(argv=None):
         min_face_size=args.min_face_size,
         face_threshold=args.face_threshold,
         save_images=not args.no_images,
-        block_frames=args.block_frames)
+        block_frames=args.block_frames,
+        decode_workers=args.decode_workers)
     run_extract(args.file, cfg, args.out_path.rstrip("/"))
     minutes, seconds = divmod(time.time() - start, 60)
     print(f"Completed in {int(minutes)} minutes, {int(seconds)} seconds.")

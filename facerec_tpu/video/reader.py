@@ -142,16 +142,18 @@ class _NativeBlockAdapter:
 
 
 def open_block_reader(path: str, info: VideoInfo, block_frames: int,
-                      prefer_native: bool = True):
-    """Best available block reader: the native double-buffered C++
-    decoder when built, the OpenCV Python reader otherwise."""
+                      prefer_native: bool = True,
+                      decode_workers: int = 0):
+    """Best available block reader: the native C++ block decoder when
+    built (optionally with parallel decode workers), the OpenCV Python
+    reader otherwise."""
     if prefer_native:
         try:
             from facerec_tpu.runtime.native import NativeVideoReader
 
             native = NativeVideoReader(
                 path, info.display_width, info.display_height,
-                block_frames)
+                block_frames, n_workers=decode_workers)
             return _NativeBlockAdapter(native)
         except (RuntimeError, ValueError, OSError):
             pass

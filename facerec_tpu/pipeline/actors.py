@@ -130,18 +130,30 @@ class FaceEmbedderForImages:
     """Single-image detect+embed: exactly-one-face gate, tight box,
     4-checkpoint embeddings (prepare-actors.py:163-197)."""
 
-    def __init__(self, detector=None, embedders=None):
+    def __init__(self, detector=None, embedders=None,
+                 detector_weights=None, facenet_weights=None):
         self._detector = detector
         self._embedders = embedders
+        self._detector_weights = detector_weights
+        self._facenet_weights = facenet_weights
 
     @property
     def detector(self):
         if self._detector is None:
-            from facerec_tpu.models import DetectorHarness
+            kwargs = dict(input_size=(512, 512), max_detections=8,
+                          score_threshold=0.95, min_face_size=20)
+            if self._detector_weights is not None:
+                from facerec_tpu.models.load import load_detector_harness
 
-            self._detector = DetectorHarness.create(
-                input_size=(512, 512), max_detections=8,
-                score_threshold=0.95, min_face_size=20)
+                self._detector = load_detector_harness(
+                    self._detector_weights, **kwargs)
+            else:
+                from facerec_tpu.models import DetectorHarness
+                from facerec_tpu.models.load import warn_random_init
+
+                warn_random_init("The face detector",
+                                 "--detector-weights")
+                self._detector = DetectorHarness.create(**kwargs)
         return self._detector
 
     @property
@@ -149,7 +161,15 @@ class FaceEmbedderForImages:
         if self._embedders is None:
             from facerec_tpu.pipeline.extract import EmbedderBank
 
-            self._embedders = EmbedderBank.create_default()
+            if self._facenet_weights is not None:
+                self._embedders = EmbedderBank.from_weights(
+                    self._facenet_weights)
+            else:
+                from facerec_tpu.models.load import warn_random_init
+
+                warn_random_init("The FaceNet embedder bank",
+                                 "--facenet-weights")
+                self._embedders = EmbedderBank.create_default()
         return self._embedders
 
     def __call__(self, image_bytes: bytes) -> Optional[dict]:
@@ -255,6 +275,11 @@ def main(argv=None):
     parser.add_argument("--actors-dir", type=str, default=".")
     parser.add_argument("--n-faces", type=int, default=20)
     parser.add_argument("--path", type=str, default=".")
+    parser.add_argument("--facenet-weights", type=str, default=None,
+                        help="directory with the four FaceNet "
+                             "checkpoints (see extract --help)")
+    parser.add_argument("--detector-weights", type=str, default=None,
+                        help="orbax checkpoint dir of detector weights")
     args = parser.parse_args(argv)
 
     actors = fetch_actor_list(args.film)
@@ -263,7 +288,9 @@ def main(argv=None):
         return 1
 
     zipf = os.path.join(args.actors_dir, "actor-images.zip")
-    embed = FaceEmbedderForImages()
+    embed = FaceEmbedderForImages(
+        detector_weights=args.detector_weights,
+        facenet_weights=args.facenet_weights)
     faces = []
     for a in actors:
         faces.extend(prepare_one_actor(a, args.n_faces, zipf, embed))

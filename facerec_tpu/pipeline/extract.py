@@ -112,6 +112,14 @@ class EmbedderBank:
             for i, name in enumerate(FACENET_MODELS)
         })
 
+    @classmethod
+    def from_weights(cls, weights_dir: str, dtype=None) -> "EmbedderBank":
+        """All four reference checkpoints imported from ``weights_dir``
+        (facenet-pytorch .pt / keras .h5 / orbax; models/load.py)."""
+        from facerec_tpu.models.load import load_facenet_embedders
+
+        return cls(load_facenet_embedders(weights_dir, dtype=dtype))
+
     def __call__(self, crops) -> Dict[str, np.ndarray]:
         import jax
 
@@ -126,6 +134,8 @@ def run_extract(
     detector: Optional[Callable] = None,
     embedders: Optional[EmbedderBank] = None,
     aspect_csv: str = "aspect_ratios.csv",
+    detector_weights: Optional[str] = None,
+    facenet_weights: Optional[str] = None,
 ) -> ExtractCounters:
     """Process one shard of a film (the whole film when n_shards=1)."""
     import jax.numpy as jnp
@@ -161,17 +171,34 @@ def run_extract(
           f"saving every 1/{cfg.save_every} frames")
 
     if detector is None:
-        from facerec_tpu.models import DetectorHarness
         from facerec_tpu.models.detector import fit_input_size
 
-        detector = DetectorHarness.create(
+        harness_kwargs = dict(
             input_size=(cfg.detector_size
                         or fit_input_size(d_h, d_w)),
             max_detections=cfg.max_detections,
             score_threshold=cfg.face_threshold,
             min_face_size=cfg.min_face_size)
+        if detector_weights is not None:
+            from facerec_tpu.models.load import load_detector_harness
+
+            detector = load_detector_harness(detector_weights,
+                                             **harness_kwargs)
+        else:
+            from facerec_tpu.models import DetectorHarness
+            from facerec_tpu.models.load import warn_random_init
+
+            warn_random_init("The face detector", "--detector-weights")
+            detector = DetectorHarness.create(**harness_kwargs)
     if embedders is None:
-        embedders = EmbedderBank.create_default()
+        if facenet_weights is not None:
+            embedders = EmbedderBank.from_weights(facenet_weights)
+        else:
+            from facerec_tpu.models.load import warn_random_init
+
+            warn_random_init("The FaceNet embedder bank",
+                             "--facenet-weights")
+            embedders = EmbedderBank.create_default()
 
     tracker_cfg = TrackerConfig(
         max_tracks=cfg.max_tracks, max_detections=cfg.max_detections,
@@ -458,6 +485,14 @@ def main(argv=None):
     parser.add_argument("--decode-workers", type=int, default=0,
                         help="parallel native decode workers "
                              "(0 = FACEREC_DECODE_WORKERS or sequential)")
+    parser.add_argument("--facenet-weights", type=str, default=None,
+                        help="directory with the four FaceNet "
+                             "checkpoints (<name>.pt / <name>.h5 / "
+                             "<name>/ orbax); random init + warning "
+                             "if omitted")
+    parser.add_argument("--detector-weights", type=str, default=None,
+                        help="orbax checkpoint dir of detector weights; "
+                             "random init + warning if omitted")
     parser.add_argument("file")
     args = parser.parse_args(argv)
 
@@ -472,7 +507,9 @@ def main(argv=None):
         save_images=not args.no_images,
         block_frames=args.block_frames,
         decode_workers=args.decode_workers)
-    run_extract(args.file, cfg, args.out_path.rstrip("/"))
+    run_extract(args.file, cfg, args.out_path.rstrip("/"),
+                detector_weights=args.detector_weights,
+                facenet_weights=args.facenet_weights)
     minutes, seconds = divmod(time.time() - start, 60)
     print(f"Completed in {int(minutes)} minutes, {int(seconds)} seconds.")
 

@@ -31,9 +31,28 @@ class Stage:
 def build_stages(filmfile: str, out_path: str, cfg: PipelineConfig,
                  actors_dir: Optional[str] = None,
                  skip: List[str] = (),
-                 shard_procs: int = 0) -> List[Stage]:
+                 shard_procs: int = 0,
+                 detector_weights: Optional[str] = None,
+                 facenet_weights: Optional[str] = None) -> List[Stage]:
     movie_id = movie_id_from_filename(filmfile)
     data_dir = os.path.join(out_path, f"{movie_id}-data")
+
+    def download():
+        # The reference pipeline opens with a download stage
+        # (facerec-pipeline.py:33-35 → download.sh); ours shells out to
+        # the same contract and is skipped when the film is on disk.
+        import subprocess
+
+        if os.path.exists(filmfile):
+            print(f"{filmfile} already exists")
+            return None
+        script = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))),
+            "scripts", "download.sh")
+        res = subprocess.run(["bash", script, filmfile])
+        if res.returncode != 0:
+            raise RuntimeError(f"download failed ({res.returncode})")
+        return None
 
     def extract():
         if shard_procs > 1:
@@ -46,10 +65,15 @@ def build_stages(filmfile: str, out_path: str, cfg: PipelineConfig,
             import subprocess
             import sys
 
+            weight_args = []
+            if detector_weights is not None:
+                weight_args += ["--detector-weights", detector_weights]
+            if facenet_weights is not None:
+                weight_args += ["--facenet-weights", facenet_weights]
             for i in range(shard_procs):
                 cmd = [sys.executable, "-m", "facerec_tpu.pipeline.extract",
                        "--n-shards", str(shard_procs), "--shard-i", str(i),
-                       "--out-path", out_path, filmfile]
+                       "--out-path", out_path, *weight_args, filmfile]
                 print(f"[extract shard {i + 1}/{shard_procs}] "
                       + " ".join(cmd), flush=True)
                 res = subprocess.run(cmd)
@@ -59,7 +83,9 @@ def build_stages(filmfile: str, out_path: str, cfg: PipelineConfig,
             return None
         from facerec_tpu.pipeline.extract import run_extract
 
-        return run_extract(filmfile, cfg.extract, out_path)
+        return run_extract(filmfile, cfg.extract, out_path,
+                           detector_weights=detector_weights,
+                           facenet_weights=facenet_weights)
 
     def merge():
         from facerec_tpu.pipeline.merge import run_merge
@@ -82,6 +108,8 @@ def build_stages(filmfile: str, out_path: str, cfg: PipelineConfig,
         return run_classify(data_dir, x, y, cfg.classify)
 
     stages = [
+        Stage("download", download,
+              skip=os.path.exists(filmfile)),
         Stage("extract", extract),
         Stage("merge", merge),
         Stage("cluster", cluster),
@@ -133,13 +161,20 @@ def main(argv=None) -> int:
                         help="run extract as N sequential per-shard "
                              "subprocesses (the reference's array-job "
                              "model; shards are resumable)")
+    parser.add_argument("--facenet-weights", type=str, default=None,
+                        help="directory with the four FaceNet "
+                             "checkpoints (see extract --help)")
+    parser.add_argument("--detector-weights", type=str, default=None,
+                        help="orbax checkpoint dir of detector weights")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
     stages = build_stages(args.filmfile, args.out_path, PipelineConfig(),
                           actors_dir=args.actors_dir,
                           skip=args.skip.split(",") if args.skip else (),
-                          shard_procs=args.shard_procs)
+                          shard_procs=args.shard_procs,
+                          detector_weights=args.detector_weights,
+                          facenet_weights=args.facenet_weights)
     ok = run_pipeline(stages, verbose=args.verbose)
     return 0 if ok else 1
 

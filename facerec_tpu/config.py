@@ -86,6 +86,12 @@ class MergeConfig:
     iou_threshold: float = 0.5
     overlap: int = 5                  # must match max_trajectory_age
     min_face_size: int = 50
+    # Reproduce merge_shards.py:237-240 exactly: cross-shard merges
+    # require strict t2.start < t1.start and are skipped entirely when
+    # t1 starts at a scene cut — which keeps duplicate tracks that
+    # spawned inside the overlap halo in both shards.  Default (False)
+    # also dedups equal-start pairs, keeping sharded == unsharded.
+    strict_start: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

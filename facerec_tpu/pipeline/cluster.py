@@ -70,7 +70,9 @@ def cluster_trajectories(embeddings: np.ndarray, size: int, min_size: int,
                          max_size: int) -> np.ndarray:
     """Full clustering recipe (cluster.py:163-214)."""
     n = len(embeddings)
-    clusters = cluster_vectors(embeddings, max(n // size, 1)).astype(np.int32)
+    # N // size unclamped (cluster.py:178): t=0 means every trajectory
+    # its own cluster, exactly as scipy fcluster handles it
+    clusters = cluster_vectors(embeddings, n // size).astype(np.int32)
 
     ids, counts = np.unique(clusters, return_counts=True)
     for ci, cnt in zip(ids, counts):

@@ -163,20 +163,27 @@ def run_merge(data_dir: str, movie_id: int, cfg: MergeConfig) -> dict:
             # Cross-shard stitch (merge_shards.py:232-259): an old
             # trajectory overlapping the new one's start, best IoU at
             # the exact overlapped frame, then splice.  Divergence from
-            # the reference: equal starts also merge (the reference's
-            # strict `t2.start < t1.start` duplicates tracks that START
-            # inside the overlap halo; dedup keeps shard-vs-unsharded
-            # equivalence, see tests/test_extract_e2e.py).
+            # the reference unless cfg.strict_start: equal starts also
+            # merge (the reference's strict `t2.start < t1.start`
+            # duplicates tracks that START inside the overlap halo;
+            # dedup keeps shard-vs-unsharded equivalence, see
+            # tests/test_extract_e2e.py).  strict_start reproduces the
+            # reference byte-for-byte (tests/test_reference_parity.py).
             for t1 in mergables:
                 best_iou, best_t = cfg.iou_threshold, None
                 at_cut = t1["start"] in scene_cuts
                 for t2 in pending:
-                    if (t2["start"] > t1["start"]
-                            or t2["start"] + t2["len"] <= t1["start"]):
+                    if t2["start"] + t2["len"] <= t1["start"]:
+                        continue
+                    if cfg.strict_start:
+                        # merge_shards.py:237-240 verbatim gates
+                        if at_cut or t2["start"] >= t1["start"]:
+                            continue
+                    elif t2["start"] > t1["start"]:
                         continue
                     # never bridge an earlier track across a scene cut
                     # (merge_shards.py:237); equal-start dedup is safe
-                    if at_cut and t2["start"] < t1["start"]:
+                    elif at_cut and t2["start"] < t1["start"]:
                         continue
                     k = t1["start"] - t2["start"]
                     value = iou_single(t2["bbs"][k], t1["bbs"][0])
@@ -217,6 +224,10 @@ def main(argv=None):
     parser.add_argument("--overlap", type=int, default=5,
                         help="must match max-trajectory-age at extraction")
     parser.add_argument("--min-face-size", type=int, default=50)
+    parser.add_argument("--strict-start", action="store_true",
+                        help="reproduce the reference's cross-shard "
+                             "merge gates exactly (keeps halo-duplicate "
+                             "tracks; see MergeConfig.strict_start)")
     parser.add_argument("--path", type=str, default=".",
                         help="movie data directory (glob)")
     args = parser.parse_args(argv)
@@ -227,7 +238,8 @@ def main(argv=None):
         movie_id = int(os.path.basename(data_dir).split("-")[0])
         cfg = MergeConfig(iou_threshold=args.iou_threshold,
                           overlap=args.overlap,
-                          min_face_size=args.min_face_size)
+                          min_face_size=args.min_face_size,
+                          strict_start=args.strict_start)
         run_merge(data_dir, movie_id, cfg)
         print()
 

@@ -19,13 +19,16 @@ def grouping(labels):
     return sorted(tuple(v) for v in groups.values())
 
 
-@pytest.mark.parametrize("n,k", [(10, 3), (50, 5), (120, 7), (40, 1)])
+@pytest.mark.parametrize("n,k", [(10, 3), (50, 5), (120, 7), (40, 1),
+                                 (7, 7), (30, 29), (9, 0), (13, 30)])
 def test_linkage_matches_scipy(rng, n, k):
     x = rng.normal(size=(n, 8)).astype(np.float32)
     got = cluster_vectors(x, k)
     link = sch.linkage(x.astype(np.float64), method="complete")
     want = sch.fcluster(link, t=k, criterion="maxclust")
-    assert grouping(got) == grouping(want)
+    # label-exact, not just partition-exact: downstream split ordering
+    # and equal-size tie-breaks depend on the label values
+    np.testing.assert_array_equal(got, want)
 
 
 def test_pairwise_distances(rng):

@@ -227,6 +227,10 @@ class DetectorHarness:
     score_threshold: float = 0.95
     min_face_size: float = 20.0
     nms_iou: float = 0.4
+    # NMS candidate pre-selection count; None = 8 × max_detections
+    # (≥128).  Scales with detection capacity instead of silently
+    # capping dense frames at a fixed 128 candidates.
+    n_candidates: int = None
 
     @classmethod
     def create(cls, rng_seed: int = 0, dtype: Any = jnp.float32,
@@ -285,11 +289,12 @@ class DetectorHarness:
         masked = jnp.where(keep, scores, -1.0)
 
         # Candidate pre-selection: greedy NMS over all ~14k anchors
-        # sweeps the full score row every step; the top-128 by score
-        # always contain every possible survivor unless a frame has
-        # >128 above-threshold anchors (8x the detection capacity —
-        # not a real film frame).
-        n_cand = min(128, masked.shape[1])
+        # sweeps the full score row every step; the top 8× the
+        # detection capacity by score always contain every possible
+        # survivor unless a frame has that many above-threshold
+        # anchors — not a real film frame at the default capacity.
+        n_cand = self.n_candidates or max(128, 8 * self.max_detections)
+        n_cand = min(n_cand, masked.shape[1])
         top_scores, top_idx = jax.lax.top_k(masked, n_cand)
         top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
         top_ldm = jnp.take_along_axis(

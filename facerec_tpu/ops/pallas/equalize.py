@@ -1,123 +1,294 @@
-"""Histogram equalization as a Pallas TPU kernel.
+"""Histogram equalization + statistics feed, radix-16 (Pallas TPU).
 
-The scene detector equalizes every frame's luminance plane
-(/root/reference/facerec/scene.py:52-63): 256-bin histogram → cdf →
-per-pixel lookup.  In plain XLA that is a scatter-add (``bincount``)
-plus a per-pixel gather (``cdf[idx]``) — both serialize on TPU and
-dominated the whole extract block (~394 ms for 64 frames of 576×768,
-with a multi-minute compile).
+Production kernel for the scene detector (ops/scene.py), replacing the
+reference's numpy histogram/cumsum/lookup per frame
+(/root/reference/facerec/scene.py:52-63).  Two formulations share the
+same in-register radix-16 math:
 
-The kernel keeps everything in the native (sublane, lane) layout: the
-plane is flattened to rows of 512 pixels, pixels ride the lane axis,
-the 256 bins ride the sublane axis, and both passes are broadcast
-compares — no transposes, gathers or scatters anywhere:
+- **Fused single-pass** (plane resident in VMEM): histogram build and
+  equalize lookup in one kernel invocation per frame.  Used when a
+  plane fits the VMEM budget — with input + output blocks and Pallas'
+  grid double-buffering the real requirement is ~4× plane bytes, so
+  the fast path takes planes up to 3 MB (every SD/HD film after the
+  2:1 crop).
+- **Row-tiled two-pass** (any resolution): a histogram kernel
+  accumulates per-frame 256-bin counts over row tiles, XLA does the
+  O(256) cumsum, and an equalize kernel maps tiles through the cdf.
+  VMEM holds only one ~1 MB tile (+ double buffering) regardless of
+  plane size — this removes the 4K/8K ceiling at the cost of one extra
+  HBM read of the plane.
 
-  pass 1:  part[v, l] += [idx(l) ≤ v]            (compare + add)
-  cum[v]   = Σ_l part[v, l]                       (one lane reduce — this
-                                                   IS the cumulative
-                                                   histogram, no cumsum)
-  pass 2:  eq(l)  = Σ_v [idx(l) == v]·cdf[v]      (compare + select + sublane reduce)
+Shared math: bin indices are computed in-register from the f32
+luminance plane exactly as the reference bins (uint8 truncation of a
+value in [0, 256); scene.py:58) — ``clip(int32(y), 0, 255)``.
+Negative inputs mark padding: excluded from the histogram, eq output
+0.  Histograms ride the MXU as one-hot nibble dot products; 0/1
+one-hots are exact in bf16 and counts stay exact integers in f32 up to
+2^24 pixels per bin (an 8K plane per frame — far above any film).
 
-Counts and cumulative counts stay < 2²⁴, so all kernel arithmetic is
-exact integer f32; the only inexact op is the final cdf division, done
-outside the kernel.  XLA strength-reduces division by a constant into
-a reciprocal multiply (on every backend, with per-lowering rounding),
-so the output matches the jnp reference path
-(:func:`facerec_tpu.ops.scene.equalize`, the CPU fallback) to 1 ulp —
-~1e-7 relative on statistics averaged over ~3·10⁵ pixels, far below
-the integer scene-decision thresholds.  One grid program per frame.
+The cumulative histogram is also returned because the scene detector's
+frame-variation statistic ``fv = mean|eq - mafd_eq|`` is an
+expectation over ≤256 distinct equalized values — O(256) from the
+histogram instead of a third pass over pixels.
+
+Returns RAW cumulative counts (the caller applies the ``/p * 255``
+scaling so the division stays in one fused consumer pass).
 """
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BINS = 256
-_LANES = 512        # pixels per row of the flattened plane
-_ROWS = 8           # rows per sweep step (sublane tile)
-_STEP = _LANES * _ROWS
+_NIB = 16
+_ROWS = 8           # rows per sweep step (sublane-aligned loads)
+# fused path: input + output plane resident, double-buffered → ~4×
+# plane bytes of VMEM; 3 MB planes ≈ 12 MB of 16 MB v5e VMEM
+_FUSED_PLANE_BYTES = 3 * 1024 * 1024
+# tiled path: target tile size (×4 with in+out and double buffering)
+_TILE_BYTES = 1024 * 1024
 
 
-def _equalize_kernel(idx_ref, eq_ref):
-    """One frame: idx_ref (1, R, 512) int32 bin indices (padding holds
-    256 and matches no bin); eq_ref (1, R, 512) f32 receives the RAW
-    cumulative count per pixel — exact f32 integers.  The cdf division
-    and ×255 happen outside the kernel."""
-    _, r, _ = idx_ref.shape
-    n_steps = r // _ROWS
-    bins = jax.lax.broadcasted_iota(jnp.int32, (_BINS, _LANES), 0)
+def _prefix16(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along the 16-wide lane axis of (16, 16)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for k in (1, 2, 4, 8):
+        x = x + jnp.where(lane >= k, pltpu.roll(x, k, 1), 0.0)
+    return x
 
-    def row_vs_bins(tile, i):
-        row = jax.lax.slice(tile, (i, 0), (i + 1, _LANES))
-        return jnp.broadcast_to(row, (_BINS, _LANES))
 
-    def load(g):
-        return idx_ref[0, pl.ds(pl.multiple_of(g * _ROWS, _ROWS), _ROWS), :]
+def _load_idx(y_ref, g, w):
+    """Rows [8g, 8g+8) as int bin indices; padding (y<0) → 256."""
+    y = y_ref[0, pl.ds(pl.multiple_of(g * _ROWS, _ROWS), _ROWS), :]
+    idx = jnp.clip(y.astype(jnp.int32), 0, 255)
+    return jnp.where(y < 0.0, 256, idx)
 
-    # Cumulative histogram directly: count idx ≤ v instead of idx == v,
-    # so no cumsum/matmul is needed and every add is an exact integer
-    # in f32.  (Padding holds 256 and is ≤ no bin.)
-    def hist_body(g, part):
-        tile = load(g)
+
+def _nibbles(tile, i, iot, w):
+    """Row i of a tile → (hi one-hot, lo one-hot, hi) over (16, W)."""
+    row = jax.lax.slice(tile, (i, 0), (i + 1, w))       # (1, W)
+    hi = jnp.broadcast_to(row // _NIB, (_NIB, w))
+    lo = jnp.broadcast_to(row % _NIB, (_NIB, w))
+    return (hi == iot), (lo == iot), hi
+
+
+def _tile_hist(y_ref, n_steps, w, iot, want_lt):
+    """Radix-16 histogram of a resident tile: (16, 16) counts
+    [hi, lo], plus the per-hi-row less-than partials when requested."""
+    def body(g, carry):
+        hist2d, lt = carry
+        tile = _load_idx(y_ref, g, w)
         for i in range(_ROWS):
-            part = part + (row_vs_bins(tile, i) <= bins).astype(jnp.float32)
-        return part
+            a, b, hi = _nibbles(tile, i, iot, w)
+            # 0/1 one-hots are exact in bf16: single-pass MXU is exact
+            hist2d = hist2d + jax.lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if want_lt:
+                lt = lt + (hi < iot).astype(jnp.float32)
+        return hist2d, lt
 
-    part = jax.lax.fori_loop(
-        0, n_steps, hist_body, jnp.zeros((_BINS, _LANES), jnp.float32))
-    cum = jnp.sum(part, axis=1, keepdims=True)            # (BINS, 1)
-    cum_b = jnp.broadcast_to(cum, (_BINS, _LANES))
+    return jax.lax.fori_loop(
+        0, n_steps, body,
+        (jnp.zeros((_NIB, _NIB), jnp.float32),
+         jnp.zeros((_NIB, w), jnp.float32) if want_lt else 0.0))
 
-    def eq_body(g, _):
-        tile = load(g)
+
+def _byte_planes(cdf2d):
+    """(16, 16) f32 cdf → three bf16 byte planes for exact lookup.
+
+    Each plane holds values < 256 (exact in bf16), the one-hot lookup
+    dots are single-pass MXU, recombination in f32 picks exactly one
+    value — the lookup is exact."""
+    c0 = cdf2d % 256.0
+    c12 = (cdf2d - c0) / 256.0
+    c1 = c12 % 256.0
+    c2 = (c12 - c1) / 256.0
+    return [(c0.astype(jnp.bfloat16), 1.0),
+            (c1.astype(jnp.bfloat16), 256.0),
+            (c2.astype(jnp.bfloat16), 65536.0)]
+
+
+def _tile_equalize(y_ref, eq_ref, planes, n_steps, w, iot):
+    """Map a resident tile through the byte-plane cdf lookup."""
+    def body(g, _):
+        tile = _load_idx(y_ref, g, w)
         rows = []
         for i in range(_ROWS):
-            picked = jnp.where(row_vs_bins(tile, i) == bins, cum_b, 0.0)
-            rows.append(jnp.sum(picked, axis=0, keepdims=True))
+            a, b, _hi = _nibbles(tile, i, iot, w)
+            bb = b.astype(jnp.bfloat16)
+            tmp = sum(
+                scale * jax.lax.dot_general(
+                    plane, bb,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                for plane, scale in planes)
+            rows.append(jnp.sum(jnp.where(a, tmp, 0.0), axis=0,
+                                keepdims=True))
         eq_ref[0, pl.ds(pl.multiple_of(g * _ROWS, _ROWS), _ROWS), :] = (
             jnp.concatenate(rows, axis=0))
         return 0
 
-    jax.lax.fori_loop(0, n_steps, eq_body, 0)
+    jax.lax.fori_loop(0, n_steps, body, 0)
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+# ---------------------------------------------------------------------------
+# fused single-pass kernel (plane-resident)
+
+
+def _fused_kernel(y_ref, eq_ref, cum_ref):
+    """One frame: y_ref (1, R, W) f32 luminance (padding < 0);
+    eq_ref (1, R, W) f32 raw cumulative count per pixel;
+    cum_ref (1, 16, 16) f32 cumulative histogram (row-major 256).
+
+    W is the plane's native width — the kernel runs on whatever lane
+    count the luminance pass produced, so no relayout to a fixed
+    2048-lane packing sits between them."""
+    _, r, w = y_ref.shape
+    n_steps = r // _ROWS
+    iot = jax.lax.broadcasted_iota(jnp.int32, (_NIB, w), 0)
+
+    hist2d, lt_part = _tile_hist(y_ref, n_steps, w, iot, want_lt=True)
+    lt = jnp.sum(lt_part, axis=1, keepdims=True)            # (16, 1)
+    cdf2d = lt + _prefix16(hist2d)                          # (16, 16)
+    cum_ref[0] = cdf2d
+
+    _tile_equalize(y_ref, eq_ref, _byte_planes(cdf2d), n_steps, w, iot)
+
+
+# ---------------------------------------------------------------------------
+# row-tiled two-pass kernels (any plane size)
+
+
+def _hist_kernel(y_ref, hist_ref):
+    """Accumulate one row tile's histogram into the frame's (16, 16)
+    counts; the output block stays resident across the row-tile grid
+    axis (same index), so accumulation is in-VMEM."""
+    _, rt, w = y_ref.shape
+    iot = jax.lax.broadcasted_iota(jnp.int32, (_NIB, w), 0)
+    hist2d, _ = _tile_hist(y_ref, rt // _ROWS, w, iot, want_lt=False)
+
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        hist_ref[0] = hist2d
+
+    @pl.when(t != 0)
+    def _acc():
+        hist_ref[0] += hist2d
+
+
+def _eq_kernel(y_ref, cdf_ref, eq_ref):
+    """Equalize one row tile against the frame's full cdf."""
+    _, rt, w = y_ref.shape
+    iot = jax.lax.broadcasted_iota(jnp.int32, (_NIB, w), 0)
+    _tile_equalize(y_ref, eq_ref, _byte_planes(cdf_ref[0]),
+                   rt // _ROWS, w, iot)
+
+
+def _tile_rows(r: int, w: int) -> int:
+    """Rows per tile: ≤ _TILE_BYTES, a multiple of _ROWS, ≥ _ROWS."""
+    per_row = w * 4
+    rows = max(_ROWS, _TILE_BYTES // per_row // _ROWS * _ROWS)
+    return min(rows, r)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def equalize_tpu(y: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """Batch histogram equalization; matches the jnp path to 1 ulp
-    (see module docstring).
+def _equalize_fused(y, interpret=False):
+    b, r, w = y.shape
+    eq_raw, cum2d = pl.pallas_call(
+        _fused_kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, r, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, r, w), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, _NIB, _NIB), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((b, r, w), jnp.float32),
+                   jax.ShapeDtypeStruct((b, _NIB, _NIB), jnp.float32)],
+        interpret=interpret,
+    )(y)
+    return eq_raw, cum2d.reshape(b, 256)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _equalize_tiled(y, interpret=False):
+    b, r, w = y.shape
+    rt = _tile_rows(r, w)
+    rp = (r + rt - 1) // rt * rt
+    if rp != r:
+        # extra sentinel rows: ignored by the histogram, eq rows sliced
+        # off below
+        y = jnp.pad(y, ((0, 0), (0, rp - r), (0, 0)),
+                    constant_values=-1.0)
+    nt = rp // rt
+
+    hist2d = pl.pallas_call(
+        _hist_kernel,
+        grid=(b, nt),
+        in_specs=[pl.BlockSpec((1, rt, w), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _NIB, _NIB), lambda i, t: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, _NIB, _NIB), jnp.float32),
+        interpret=interpret,
+    )(y)
+
+    # bin value v = hi*16 + lo is exactly the row-major order: the full
+    # cumulative histogram is one O(256) cumsum (exact: integer counts)
+    cum = jnp.cumsum(hist2d.reshape(b, 256), axis=-1)
+
+    eq_raw = pl.pallas_call(
+        _eq_kernel,
+        grid=(b, nt),
+        in_specs=[pl.BlockSpec((1, rt, w), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, _NIB, _NIB), lambda i, t: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, rt, w), lambda i, t: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, rp, w), jnp.float32),
+        interpret=interpret,
+    )(y, cum.reshape(b, _NIB, _NIB))
+    return eq_raw[:, :r], cum
+
+
+def equalize_stats_tpu(y: jnp.ndarray, interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raw equalization of packed luminance planes.
 
     Args:
-        y: (B, H, W) float32 luminance planes, values in [0, 256).
-        interpret: run the kernel in interpreter mode (CPU testing).
-    Returns:
-        (B, H, W) float32 equalized planes.
-    """
-    b, h, w = y.shape
-    p = h * w
-    idx = y.astype(jnp.uint8).astype(jnp.int32).reshape(b, p)
-    pp = _round_up(p, _STEP)
-    if pp != p:
-        idx = jnp.pad(idx, ((0, 0), (0, pp - p)), constant_values=_BINS)
-    r = pp // _LANES
-    idx = idx.reshape(b, r, _LANES)
+        y: (B, R, W) f32 luminance planes at native width, rows padded
+            to a multiple of 8 with values < 0.
 
-    cum = pl.pallas_call(
-        _equalize_kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, r, _LANES), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, r, _LANES), jnp.float32),
-        interpret=interpret,
-    )(idx)
-    cum = cum.reshape(b, pp)[:, :p].reshape(b, h, w)
-    return (cum / p) * 255.0
+    Returns:
+        (eq_raw, cum): (B, R, W) f32 per-pixel cumulative counts
+        (0 at padding) and (B, 256) f32 cumulative histograms counting
+        real pixels only.
+
+    Both paths produce bit-identical outputs (the arithmetic is exact
+    integer counting either way); the dispatch is purely a VMEM
+    residency decision.
+    """
+    b, r, w = y.shape
+    assert r % _ROWS == 0, (r, w)
+    if r * w * 4 <= _FUSED_PLANE_BYTES:
+        return _equalize_fused(y, interpret=interpret)
+    return _equalize_tiled(y, interpret=interpret)
+
+
+def pack_planes(y: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) f32 → (B, R, W): rows padded to a multiple of 8 with
+    -1 (kernel padding sentinel).  Width stays native — no relayout."""
+    b, h, w = y.shape
+    hp = ((h + _ROWS - 1) // _ROWS) * _ROWS
+    if hp != h:
+        y = jnp.pad(y, ((0, 0), (0, hp - h), (0, 0)), constant_values=-1.0)
+    return y

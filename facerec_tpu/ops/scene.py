@@ -13,7 +13,7 @@ TPU shape of the computation (one pass each over the block):
   1. luminance at native width (rows padded to the kernel's sublane
      multiple — no relayout)
   2. Pallas radix-16 kernel: per-frame raw equalization + 256-bin
-     cumulative histogram (ops/pallas/equalize_v3.py)
+     cumulative histogram (ops/pallas/equalize.py)
   3. inter-frame diffs |y_i - y_{i-1}| and |eq_i - eq_{i-1}|
   4. the frame-variation statistic from the HISTOGRAM: ``fv =
      mean|eq - mafd_eq|`` is an expectation over ≤256 distinct
@@ -29,12 +29,12 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from facerec_tpu.ops.pallas.equalize_v3 import pack_planes
+from facerec_tpu.ops.pallas.equalize import pack_planes
 
 
 class SceneState(NamedTuple):
     """Cross-block carry.  Planes are native-width (R, W) with rows
-    padded to a multiple of 8 by -1 (equalize_v3.pack_planes).
+    padded to a multiple of 8 by -1 (equalize.pack_planes).
     ``n_seen`` counts frames consumed so far; statistics need 3 frames
     of history before decisions are valid."""
 
@@ -86,7 +86,7 @@ def _equalize_raw(y_packed: jnp.ndarray
     same math as bincount+cumsum+take elsewhere (bit-identical integer
     counts)."""
     if jax.default_backend() == "tpu":
-        from facerec_tpu.ops.pallas.equalize_v3 import equalize_stats_tpu
+        from facerec_tpu.ops.pallas.equalize import equalize_stats_tpu
 
         return equalize_stats_tpu(y_packed)
     b = y_packed.shape[0]

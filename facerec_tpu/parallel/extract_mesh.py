@@ -1,0 +1,242 @@
+"""Multi-chip production extract: n temporal shard spans at once.
+
+The reference scales extraction by running 100-256 SLURM array tasks,
+each owning a contiguous frame range plus a ``max_trajectory_age``
+overlap, rendezvousing through shard files
+(/root/reference/scripts/extract.sh:41-47, SURVEY.md §2.4).  Here the
+same decomposition maps onto a TPU mesh: device i owns span i of the
+film and carries its own scene + tracker state across blocks, and ONE
+``shard_map``-ped XLA program advances all spans per dispatch.  No
+collectives are needed — the 5-frame tracker halo and the 2-frame
+scene warm-up become the same per-span overlap decode the reference
+shards pay, and the merge stage stitches span boundaries exactly as it
+stitches file shards.
+
+Because every span runs the identical block program over the identical
+frames and the host-side :class:`~facerec_tpu.pipeline.extract.ShardConsumer`
+is shared with the serial path, a mesh run writes shard files
+byte-identical to a serial ``--n-shards n`` loop
+(tests/test_parallel_mesh.py), and the merged output is byte-identical
+to an unsharded run.
+
+Host feed: one block reader per span (n concurrent decode streams);
+crop+embed stays host-orchestrated per consumer so feature bytes match
+the serial run's batch composition exactly.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from facerec_tpu.config import ExtractConfig
+from facerec_tpu.contract import MovieDirs
+from facerec_tpu.contract.naming import movie_id_from_filename
+from facerec_tpu.parallel.mesh import FRAME_AXIS, frame_mesh
+from facerec_tpu.pipeline.extract import (ExtractCounters, EmbedderBank,
+                                          ShardConsumer, build_detector,
+                                          build_embedders, make_jpeg_writer)
+from facerec_tpu.track import TrackerConfig, init_tracker, run_block
+from facerec_tpu.video.reader import (load_aspect_ratio_csv,
+                                      open_block_reader, probe_video)
+
+
+def _detector_forward(detector) -> Callable:
+    """(variables, frames, frame0) → Detections, pure.
+
+    DetectorHarness ignores frame0; scripted test detectors index
+    their truth arrays with it (video/synth.PureScriptedDetector).
+    """
+    if hasattr(detector, "forward_indexed"):
+        return detector.forward_indexed
+    return lambda variables, frames, frame0: detector._forward(
+        variables, frames)
+
+
+def build_mesh_step(mesh, detector, tracker_cfg: TrackerConfig):
+    """One jitted dispatch advancing every span by one block.
+
+    Per device (leading mesh axis): scene statistics with carried
+    2-frame state, detector forward, tracker scan with carried track
+    table — the exact serial FusedBlockStep body under ``shard_map``.
+    """
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from facerec_tpu.ops import scene as scene_ops
+
+    fwd = _detector_forward(detector)
+
+    def per_device(det_vars, frames, scene_state, tracker_state, frame0):
+        frames, frame0 = frames[0], frame0[0]
+        scene_state = jax.tree.map(lambda x: x[0], scene_state)
+        tracker_state = jax.tree.map(lambda x: x[0], tracker_state)
+
+        flags, scene_state = scene_ops._detect_block_impl(
+            frames, scene_state)
+        det = fwd(det_vars, frames, frame0)
+        tracker_state, emit = run_block(
+            tracker_cfg, tracker_state, det.boxes, det.valid, flags,
+            frame0)
+
+        lead = lambda t: jax.tree.map(lambda x: x[None], t)
+        return (flags[None], lead(det), lead(emit), lead(scene_state),
+                lead(tracker_state))
+
+    sharded = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS),
+                  P(FRAME_AXIS)),
+        out_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS),
+                   P(FRAME_AXIS), P(FRAME_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def run_extract_mesh(
+    file: str,
+    cfg: ExtractConfig,
+    out_path: str,
+    mesh_size: Optional[int] = None,
+    mesh=None,
+    detector=None,
+    embedders: Optional[EmbedderBank] = None,
+    aspect_csv: str = "aspect_ratios.csv",
+    detector_weights: Optional[str] = None,
+    facenet_weights: Optional[str] = None,
+) -> List[ExtractCounters]:
+    """Extract the whole film as n simultaneous spans on an n-device
+    mesh.  Writes the same per-span shard files a serial
+    ``--n-shards n`` loop writes; run the merge stage afterwards."""
+    import jax
+    import jax.numpy as jnp
+
+    from facerec_tpu.ops import scene as scene_ops
+
+    if mesh is None:
+        devices = jax.devices()
+        n = mesh_size or len(devices)
+        if len(devices) < n:
+            raise RuntimeError(
+                f"--mesh {n} needs {n} devices; found {len(devices)}")
+        mesh = frame_mesh(devices[:n])
+    n = mesh.devices.size
+
+    display = load_aspect_ratio_csv(aspect_csv, os.path.basename(file))
+    if cfg.display_width is not None and cfg.display_height is not None:
+        display = (cfg.display_width, cfg.display_height)
+    info = probe_video(file, display)
+    d_w, d_h = info.display_width, info.display_height
+
+    movie_id = movie_id_from_filename(file)
+    dirs = MovieDirs.create(out_path, movie_id)
+
+    span_len = (info.n_frames + n - 1) // n
+    spans = []
+    for i in range(n):
+        beg = span_len * i
+        end = min(beg + span_len, info.n_frames)
+        stop = min(end + cfg.max_trajectory_age, info.n_frames)
+        spans.append((beg, end, stop))
+
+    print(f"Movie file: {os.path.basename(file)}")
+    print(f"Mesh extract: {n} spans × {span_len} frames "
+          f"(block {cfg.block_frames})")
+
+    if detector is None:
+        detector = build_detector(cfg, d_h, d_w, detector_weights)
+    if embedders is None:
+        embedders = build_embedders(facenet_weights)
+
+    tracker_cfg = TrackerConfig(
+        max_tracks=cfg.max_tracks, max_detections=cfg.max_detections,
+        max_age=cfg.max_trajectory_age, min_hits=cfg.min_trajectory,
+        iou_threshold=cfg.iou_threshold)
+
+    stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    scene_state = stack([scene_ops.initial_state(d_h, d_w, crop=True)
+                         for _ in range(n)])
+    tracker_state = stack([init_tracker(tracker_cfg) for _ in range(n)])
+
+    jpeg_writer = make_jpeg_writer(cfg)
+    span_cfg = dataclasses.replace(cfg, n_shards=n)
+    consumers = [ShardConsumer(dirs, movie_id, span_cfg, beg, end, d_w,
+                               d_h, embedders, jpeg_writer)
+                 for beg, end, _ in spans]
+
+    readers = [open_block_reader(file, info, cfg.block_frames,
+                                 decode_workers=cfg.decode_workers)
+               for _ in range(n)]
+    iters = [r.blocks(beg, stop, cfg.block_frames)
+             for r, (beg, _, stop) in zip(readers, spans)]
+
+    step = build_mesh_step(mesh, detector, tracker_cfg)
+    det_vars = getattr(detector, "variables", {})
+
+    b = cfg.block_frames
+    last_frames = [np.zeros((b, d_h, d_w, 3), np.uint8)
+                   for _ in range(n)]
+    exhausted = [False] * n
+    while not all(exhausted):
+        reals = [0] * n
+        frame0s = np.zeros(n, np.int32)
+        blocks = []
+        for i in range(n):
+            nxt = None if exhausted[i] else next(iters[i], None)
+            if nxt is None:
+                # span finished: keep feeding its last (padded) block;
+                # the carried state for this span is never read again
+                exhausted[i] = True
+                blocks.append(last_frames[i])
+                continue
+            frame0, frames = nxt
+            reals[i] = len(frames)
+            if len(frames) < b:
+                frames = np.concatenate(
+                    [frames,
+                     np.repeat(frames[-1:], b - len(frames), axis=0)])
+            frame0s[i] = frame0
+            last_frames[i] = frames
+            blocks.append(frames)
+        if all(exhausted):
+            break
+
+        flags, det, emit, scene_state, tracker_state = step(
+            det_vars, jnp.asarray(np.stack(blocks)), scene_state,
+            tracker_state, jnp.asarray(frame0s))
+
+        flags_np, emit_host, det_valid, landmarks = jax.device_get(
+            (flags, emit, det.valid, det.landmarks))
+        for i in range(n):
+            real = reals[i]
+            if real == 0:
+                continue
+            emit_i = type(emit_host)(*(f[i][:real] for f in emit_host))
+            consumers[i].feed_block(
+                int(frame0s[i]), blocks[i][:real], flags_np[i][:real],
+                emit_i, det_valid[i][:real], landmarks[i][:real])
+
+    counters = [c.finish() for c in consumers]
+    for r in readers:
+        r.close()
+    if jpeg_writer is not None:
+        jpeg_writer.close()
+
+    total = ExtractCounters(
+        saved_boxes=sum(c.saved_boxes for c in counters),
+        saved_frames=sum(c.saved_frames for c in counters),
+        saved_trajectories=sum(c.saved_trajectories for c in counters),
+        frames_processed=sum(c.frames_processed for c in counters),
+        overflow=sum(c.overflow for c in counters))
+    print(f"Saved {total.saved_boxes} boxes from "
+          f"{total.saved_frames} different frames")
+    print(f"and {total.saved_trajectories} trajectories "
+          f"across {n} spans.")
+    if total.overflow:
+        print(f"WARNING: {total.overflow} detections dropped at "
+              f"track-capacity limit.")
+    return counters

@@ -13,7 +13,11 @@ One device block step sharded over a 1-D mesh with ``shard_map``:
     (SURVEY.md §2.4, §5.7).
 
 This is the reference's 100-way SLURM temporal sharding collapsed into
-one XLA program per block.
+one XLA program per block.  It demonstrates the ICI halo-exchange
+formulation (sub-block spans within ONE block); the production
+multi-chip path is :mod:`facerec_tpu.parallel.extract_mesh`, which
+gives each device a contiguous film span with carried state and needs
+no collectives.
 """
 from __future__ import annotations
 
@@ -47,25 +51,42 @@ def _scene_flags_with_halo(frames, frame0, crop: bool):
         frame0: () int32 — global index of the first local frame.
     Returns (L,) bool flags.
     """
+    from facerec_tpu.ops.pallas.equalize import pack_planes
+
     l, h, w, _ = frames.shape
     lo, hi = scene_ops.crop_bounds(h, w, crop)
-    y = scene_ops.luminance(frames)[:, lo:hi, :]
-    eq = scene_ops.equalize(y)
+    p = (hi - lo) * w
+    scale = 255.0 / p
+    y = pack_planes(scene_ops.luminance(frames)[:, lo:hi, :])
+    # same raw-equalization + histogram helpers as the serial path
+    # (ops/scene.py:_detect_block_impl) so halo statistics share the
+    # serial path's exact f32 reduction order — sharded == serial
+    eq, cum = scene_ops._equalize_raw(y)
 
-    # Right-shift halo: device i sends its last 2 (y, eq) planes to i+1.
+    # Right-shift halo: device i sends its last 2 frames' planes +
+    # histograms to i+1 over ICI.
     n = jax.lax.axis_size(FRAME_AXIS)
     perm = [(i, i + 1) for i in range(n - 1)]
     halo_y = jax.lax.ppermute(y[-2:], FRAME_AXIS, perm)
     halo_eq = jax.lax.ppermute(eq[-2:], FRAME_AXIS, perm)
+    halo_cum = jax.lax.ppermute(cum[-2:], FRAME_AXIS, perm)
 
     y_ext = jnp.concatenate([halo_y, y], axis=0)      # (L+2, ...)
     eq_ext = jnp.concatenate([halo_eq, eq], axis=0)
+    cum_ext = jnp.concatenate([halo_cum, cum], axis=0)
 
-    # Stats for extended indices 1..L+1 (frame i vs i-1).
-    mafd_ext = jnp.abs(y_ext[1:] - y_ext[:-1]).mean(axis=(1, 2))    # (L+1,)
-    mafd_eq_ext = jnp.abs(eq_ext[1:] - eq_ext[:-1]).mean(axis=(1, 2))
-    fv_ext = jnp.abs(eq_ext[1:] - mafd_eq_ext[:, None, None]
-                     ).mean(axis=(1, 2))
+    # Stats for extended indices 1..L+1 (frame i vs i-1); formulas are
+    # the serial path's verbatim: sums over packed planes (padding rows
+    # contribute 0) divided by the real pixel count, fv from the
+    # histogram.
+    mafd_ext = jnp.abs(y_ext[1:] - y_ext[:-1]).sum(axis=(1, 2)) / p
+    mafd_eq_ext = jnp.abs(eq_ext[1:] * scale
+                          - eq_ext[:-1] * scale).sum(axis=(1, 2)) / p
+    hist_ext = jnp.diff(cum_ext, axis=-1, prepend=0.0)
+    eqval_ext = cum_ext * scale
+    fv_ext = jnp.sum(
+        hist_ext[1:] * jnp.abs(eqval_ext[1:] - mafd_eq_ext[:, None]),
+        axis=-1) / p
 
     mafd = mafd_ext[1:]
     mafd_eq = mafd_eq_ext[1:]

@@ -16,6 +16,11 @@ deferred ``min_trajectory - 1`` frames until the track's validity is
 decided, mirroring the reference's frame buffer (extract.py:304-342).
 Output files are byte-compatible shard files, so the merge stage (ours
 or the reference's) consumes them unchanged.
+
+The host-side per-shard state lives in :class:`ShardConsumer` so the
+serial path here and the multi-chip path
+(:mod:`facerec_tpu.parallel.extract_mesh`) share it — a mesh run is n
+of these consumers fed from n device-resident shard spans.
 """
 from __future__ import annotations
 
@@ -127,6 +132,258 @@ class EmbedderBank:
         return dict(zip(self.pooled.names, outs))
 
 
+class ShardConsumer:
+    """Host-side state and writers of ONE extract shard.
+
+    Consumes per-block device outputs (scene flags, tracker emissions,
+    detections) and produces the shard's contract files: trajectory
+    assembly, the deferred face buffer with its validity watermark, the
+    two-block pixel window for crops, batched crop+embed dispatch, and
+    feature/image/scene-change writing.  Both the serial extract and
+    the mesh extract (one consumer per device span) drive this class,
+    so sharded output is byte-identical to a serial ``--n-shards n``
+    run by construction.
+    """
+
+    def __init__(self, dirs: MovieDirs, movie_id: int, cfg: ExtractConfig,
+                 beg: int, end: int, d_w: int, d_h: int,
+                 embedders: EmbedderBank, jpeg_writer=None,
+                 resume_state: Optional[dict] = None):
+        self.dirs = dirs
+        self.movie_id = movie_id
+        self.cfg = cfg
+        self.beg, self.end = beg, end
+        self.d_w, self.d_h = d_w, d_h
+        self.embedders = embedders
+        self.jpeg_writer = jpeg_writer
+
+        self.features_path = os.path.join(
+            dirs.features, shard_file_name("features", movie_id, beg, end))
+        self.traj_path = os.path.join(
+            dirs.trajectories,
+            shard_file_name("trajectories", movie_id, beg, end))
+        self.sc_path = os.path.join(
+            dirs.scene_changes,
+            shard_file_name("scene_changes", movie_id, beg, end))
+
+        if resume_state is None:
+            self.features_file = open(self.features_path, "w")
+            self.traj_file = open(self.traj_path, "w")
+            self.assembler = TrajectoryAssembler(
+                d_w, d_h, min_hits=cfg.min_trajectory,
+                expiry_age=2 * cfg.min_trajectory)
+            self.pending: List[faces_mod.PendingFace] = []
+            self.pixel_window: Dict[int, np.ndarray] = {}
+            self.counters = ExtractCounters()
+            self.scene_changes: List[int] = []
+        else:
+            self.features_file = open(self.features_path, "r+")
+            self.features_file.truncate(resume_state["feat_offset"])
+            self.features_file.seek(resume_state["feat_offset"])
+            self.traj_file = open(self.traj_path, "r+")
+            self.traj_file.truncate(resume_state["traj_offset"])
+            self.traj_file.seek(resume_state["traj_offset"])
+            self.assembler = resume_state["assembler"]
+            self.pending = resume_state["pending"]
+            self.pixel_window = resume_state["pixel_window"]
+            self.counters = resume_state["counters"]
+            self.scene_changes = resume_state["scene_changes"]
+        self._last_block_start = (max(self.pixel_window)
+                                  if self.pixel_window else None)
+
+    def feed_block(self, frame0: int, frames: np.ndarray,
+                   flags: np.ndarray, emit_host, det_valid: np.ndarray,
+                   landmarks: np.ndarray) -> None:
+        """Consume one block's device outputs (already truncated to the
+        block's real frame count)."""
+        cfg = self.cfg
+        det_slot, slot_uid, slot_box = (emit_host.det_slot,
+                                        emit_host.uid, emit_host.box)
+        self.scene_changes.extend(
+            (frame0 + np.nonzero(flags)[0]).tolist())
+
+        for rec in self.assembler.feed(emit_host, frame0):
+            records.write_trajectory(self.traj_file, rec)
+            self.counters.saved_trajectories += 1
+        for i in range(len(frames)):
+            for d in range(det_slot.shape[1]):
+                if not det_valid[i, d]:
+                    continue
+                s = det_slot[i, d]
+                if s < 0:
+                    continue  # capacity overflow
+                self.pending.append(faces_mod.PendingFace(
+                    frame=frame0 + i, uid=int(slot_uid[i, s]),
+                    posterior_box=slot_box[i, s].copy(),
+                    landmarks=landmarks[i, d]))
+
+        # keep a two-block pixel window for deferred crops
+        self.pixel_window[frame0] = frames
+        self.flush_faces(frame0 + len(frames) - 1
+                         - (cfg.min_trajectory - 1))
+        if self._last_block_start is not None:
+            for b in list(self.pixel_window):
+                if b < self._last_block_start:
+                    del self.pixel_window[b]
+        self._last_block_start = frame0
+        self.counters.frames_processed += len(frames)
+
+    def flush_faces(self, watermark: Optional[int]) -> None:
+        """Emit features/images for pending faces with frame ≤ watermark
+        (None = all), in frame order."""
+        import jax.numpy as jnp
+
+        from facerec_tpu.ops.crops import crop_resize_dispatch as crop_resize
+
+        cfg = self.cfg
+        due = [p for p in self.pending
+               if watermark is None or p.frame <= watermark]
+        later = [p for p in self.pending
+                 if not (watermark is None or p.frame <= watermark)]
+        # keep not-yet-decided tracks pending (can only happen at block
+        # boundaries when watermark outruns a freshly spawned track)
+        undecided = [p for p in due
+                     if self.assembler.track_valid(p.uid) is None]
+        self.pending = later + (undecided if watermark is not None else [])
+        ready = [p for p in due
+                 if p.frame % cfg.save_every == 0
+                 and self.assembler.track_valid(p.uid)]
+        if not ready:
+            return
+
+        # Device: batched crop + embed for every ready face.
+        block_starts = sorted(self.pixel_window)
+        stack = np.concatenate([self.pixel_window[b] for b in block_starts])
+        offsets = {}
+        off = 0
+        for b in block_starts:
+            offsets[b] = off
+            off += len(self.pixel_window[b])
+
+        def stack_index(frame: int) -> int:
+            for b in reversed(block_starts):
+                if frame >= b:
+                    return offsets[b] + (frame - b)
+            raise KeyError(f"frame {frame} left the pixel window")
+
+        d_w, d_h = self.d_w, self.d_h
+        tight_boxes = [round_clip_box(p.posterior_box, d_w, d_h)
+                       for p in ready]
+        crop_boxes = np.stack([
+            faces_mod.embed_crop_box(tb, d_w, d_h) for tb in tight_boxes])
+        frame_idx = np.array([stack_index(p.frame) for p in ready],
+                             np.int32)
+        # pad the crop batch to a power of two (min 16) so the
+        # crop/embed programs compile for a bounded set of shapes
+        n_real = len(ready)
+        bucket = max(16, 1 << (n_real - 1).bit_length())
+        if bucket != n_real:
+            crop_boxes = np.concatenate(
+                [crop_boxes,
+                 np.tile(crop_boxes[-1:], (bucket - n_real, 1))])
+            frame_idx = np.concatenate(
+                [frame_idx,
+                 np.full(bucket - n_real, frame_idx[-1], np.int32)])
+        crops = crop_resize(jnp.asarray(stack), jnp.asarray(frame_idx),
+                            jnp.asarray(crop_boxes), FACE_IMAGE_SIZE)
+        all_embeddings = {name: vecs[:n_real]
+                          for name, vecs in self.embedders(crops).items()}
+
+        frames_seen = set()
+        for i, p in enumerate(ready):
+            emb = {name: vecs[i].tolist()
+                   for name, vecs in all_embeddings.items()}
+            rec = faces_mod.feature_record_for(
+                self.movie_id, p.frame, tight_boxes[i], emb, p.landmarks,
+                d_w, d_h)
+            records.write_feature(self.features_file, rec)
+            if cfg.save_images:
+                faces_mod.save_face_image(
+                    stack[stack_index(p.frame)], p.posterior_box, d_w,
+                    d_h, self.dirs.images, rec["tag"],
+                    jpeg_writer=self.jpeg_writer)
+            self.counters.saved_boxes += 1
+            frames_seen.add(p.frame)
+        self.counters.saved_frames += len(frames_seen)
+
+    def finish(self) -> ExtractCounters:
+        """Final trajectories + faces, scene-change file, close files,
+        mark the shard done.  Returns the shard counters."""
+        for rec in self.assembler.finish():
+            records.write_trajectory(self.traj_file, rec)
+            self.counters.saved_trajectories += 1
+        self.flush_faces(None)
+        self.counters.overflow = self.assembler.overflow
+
+        # Divergence from the reference (extract.py:362 clips to
+        # [beg, end)): we keep cuts found in the overlap window too, so
+        # the merge union recovers cuts that land in the next shard's
+        # 2-frame statistics warm-up — keeps sharded == unsharded scene
+        # output.
+        records.write_shard_scene_changes(
+            self.sc_path, [f for f in self.scene_changes if f >= self.beg])
+
+        self.features_file.close()
+        self.traj_file.close()
+
+        from facerec_tpu.runtime import checkpoint as ckpt
+
+        ckpt.mark_shard_done(self.dirs.root, "extract", self.movie_id,
+                             self.beg, self.end)
+        return self.counters
+
+    def snapshot(self) -> dict:
+        """Checkpointable host state (file offsets after a flush)."""
+        self.features_file.flush()
+        self.traj_file.flush()
+        return dict(assembler=self.assembler, pending=self.pending,
+                    counters=self.counters,
+                    scene_changes=self.scene_changes,
+                    pixel_window=self.pixel_window,
+                    feat_offset=self.features_file.tell(),
+                    traj_offset=self.traj_file.tell())
+
+
+def make_jpeg_writer(cfg: ExtractConfig):
+    if not cfg.save_images:
+        return None
+    try:
+        from facerec_tpu.runtime.native import NativeJpegWriter
+
+        return NativeJpegWriter(n_threads=2, quality=65)
+    except (RuntimeError, OSError):
+        return None
+
+
+def build_detector(cfg: ExtractConfig, d_h: int, d_w: int,
+                   detector_weights: Optional[str]):
+    from facerec_tpu.models.detector import fit_input_size
+
+    harness_kwargs = dict(
+        input_size=(cfg.detector_size or fit_input_size(d_h, d_w)),
+        max_detections=cfg.max_detections,
+        score_threshold=cfg.face_threshold,
+        min_face_size=cfg.min_face_size)
+    if detector_weights is not None:
+        from facerec_tpu.models.load import load_detector_harness
+
+        return load_detector_harness(detector_weights, **harness_kwargs)
+    from facerec_tpu.models import DetectorHarness
+    from facerec_tpu.models.load import warn_random_init
+
+    warn_random_init("The face detector", "--detector-weights")
+    return DetectorHarness.create(**harness_kwargs)
+
+
+def build_embedders(facenet_weights: Optional[str]) -> EmbedderBank:
+    if facenet_weights is not None:
+        return EmbedderBank.from_weights(facenet_weights)
+    from facerec_tpu.models.load import warn_random_init
+
+    warn_random_init("The FaceNet embedder bank", "--facenet-weights")
+    return EmbedderBank.create_default()
+
+
 def run_extract(
     file: str,
     cfg: ExtractConfig,
@@ -138,10 +395,10 @@ def run_extract(
     facenet_weights: Optional[str] = None,
 ) -> ExtractCounters:
     """Process one shard of a film (the whole film when n_shards=1)."""
+    import jax
     import jax.numpy as jnp
 
     from facerec_tpu.ops import scene as scene_ops
-    from facerec_tpu.ops.crops import crop_resize_dispatch as crop_resize
 
     assert 0 <= cfg.shard_i < cfg.n_shards, "Bad shard index."
 
@@ -171,34 +428,9 @@ def run_extract(
           f"saving every 1/{cfg.save_every} frames")
 
     if detector is None:
-        from facerec_tpu.models.detector import fit_input_size
-
-        harness_kwargs = dict(
-            input_size=(cfg.detector_size
-                        or fit_input_size(d_h, d_w)),
-            max_detections=cfg.max_detections,
-            score_threshold=cfg.face_threshold,
-            min_face_size=cfg.min_face_size)
-        if detector_weights is not None:
-            from facerec_tpu.models.load import load_detector_harness
-
-            detector = load_detector_harness(detector_weights,
-                                             **harness_kwargs)
-        else:
-            from facerec_tpu.models import DetectorHarness
-            from facerec_tpu.models.load import warn_random_init
-
-            warn_random_init("The face detector", "--detector-weights")
-            detector = DetectorHarness.create(**harness_kwargs)
+        detector = build_detector(cfg, d_h, d_w, detector_weights)
     if embedders is None:
-        if facenet_weights is not None:
-            embedders = EmbedderBank.from_weights(facenet_weights)
-        else:
-            from facerec_tpu.models.load import warn_random_init
-
-            warn_random_init("The FaceNet embedder bank",
-                             "--facenet-weights")
-            embedders = EmbedderBank.create_default()
+        embedders = build_embedders(facenet_weights)
 
     tracker_cfg = TrackerConfig(
         max_tracks=cfg.max_tracks, max_detections=cfg.max_detections,
@@ -206,25 +438,9 @@ def run_extract(
         iou_threshold=cfg.iou_threshold)
     tracker_state = init_tracker(tracker_cfg)
     scene_state = scene_ops.initial_state(d_h, d_w, crop=True)
-    assembler = TrajectoryAssembler(d_w, d_h, min_hits=cfg.min_trajectory,
-                                    expiry_age=2 * cfg.min_trajectory)
-
-    counters = ExtractCounters()
-    scene_changes: List[int] = []
-    pending: List[faces_mod.PendingFace] = []
-    pixel_window: Dict[int, np.ndarray] = {}  # block_start → host pixels
-
-    features_path = os.path.join(
-        dirs.features, shard_file_name("features", movie_id, beg, end))
-    traj_path = os.path.join(
-        dirs.trajectories,
-        shard_file_name("trajectories", movie_id, beg, end))
-    sc_path = os.path.join(
-        dirs.scene_changes,
-        shard_file_name("scene_changes", movie_id, beg, end))
 
     from facerec_tpu.runtime import checkpoint as ckpt
-    from facerec_tpu.runtime.metrics import StageReport, maybe_profile
+    from facerec_tpu.runtime.metrics import StageReport
 
     report = StageReport(f"extract_{beg}-{end}")
     ckpt_path = os.path.join(
@@ -240,117 +456,22 @@ def run_extract(
 
     reader = open_block_reader(file, info, cfg.block_frames,
                                decode_workers=cfg.decode_workers)
-    if resume_state is None:
-        features_file = open(features_path, "w")
-        traj_file = open(traj_path, "w")
-    else:
-        features_file = open(features_path, "r+")
-        features_file.truncate(resume_state["feat_offset"])
-        features_file.seek(resume_state["feat_offset"])
-        traj_file = open(traj_path, "r+")
-        traj_file.truncate(resume_state["traj_offset"])
-        traj_file.seek(resume_state["traj_offset"])
+    jpeg_writer = make_jpeg_writer(cfg)
+    consumer = ShardConsumer(dirs, movie_id, cfg, beg, end, d_w, d_h,
+                             embedders, jpeg_writer,
+                             resume_state=resume_state)
 
     start_frame = beg
     if resume_state is not None:
         start_frame = resume_state["next_frame"]
         scene_state = resume_state["scene_state"]
         tracker_state = resume_state["tracker_state"]
-        assembler = resume_state["assembler"]
-        pending = resume_state["pending"]
-        counters = resume_state["counters"]
-        scene_changes = resume_state["scene_changes"]
-        pixel_window = resume_state["pixel_window"]
         print(f"Resuming shard {beg}-{end} at frame {start_frame}")
-
-    jpeg_writer = None
-    if cfg.save_images:
-        try:
-            from facerec_tpu.runtime.native import NativeJpegWriter
-
-            jpeg_writer = NativeJpegWriter(n_threads=2, quality=65)
-        except (RuntimeError, OSError):
-            jpeg_writer = None
-
-    def flush_faces(watermark: Optional[int]) -> None:
-        """Emit features/images for pending faces with frame ≤ watermark
-        (None = all), in frame order."""
-        nonlocal pending
-        due = [p for p in pending
-               if watermark is None or p.frame <= watermark]
-        later = [p for p in pending
-                 if not (watermark is None or p.frame <= watermark)]
-        # keep not-yet-decided tracks pending (can only happen at block
-        # boundaries when watermark outruns a freshly spawned track)
-        undecided = [p for p in due
-                     if assembler.track_valid(p.uid) is None]
-        pending = later + (undecided if watermark is not None else [])
-        ready = [p for p in due
-                 if p.frame % cfg.save_every == 0
-                 and assembler.track_valid(p.uid)]
-        if not ready:
-            return
-
-        # Device: batched crop + embed for every ready face.
-        block_starts = sorted(pixel_window)
-        stack = np.concatenate([pixel_window[b] for b in block_starts])
-        offsets = {}
-        off = 0
-        for b in block_starts:
-            offsets[b] = off
-            off += len(pixel_window[b])
-
-        def stack_index(frame: int) -> int:
-            for b in reversed(block_starts):
-                if frame >= b:
-                    return offsets[b] + (frame - b)
-            raise KeyError(f"frame {frame} left the pixel window")
-
-        tight_boxes = [round_clip_box(p.posterior_box, d_w, d_h)
-                       for p in ready]
-        crop_boxes = np.stack([
-            faces_mod.embed_crop_box(tb, d_w, d_h) for tb in tight_boxes])
-        frame_idx = np.array([stack_index(p.frame) for p in ready],
-                             np.int32)
-        # pad the crop batch to a power of two (min 16) so the
-        # crop/embed programs compile for a bounded set of shapes
-        n_real = len(ready)
-        bucket = max(16, 1 << (n_real - 1).bit_length())
-        if bucket != n_real:
-            crop_boxes = np.concatenate(
-                [crop_boxes,
-                 np.tile(crop_boxes[-1:], (bucket - n_real, 1))])
-            frame_idx = np.concatenate(
-                [frame_idx,
-                 np.full(bucket - n_real, frame_idx[-1], np.int32)])
-        crops = crop_resize(jnp.asarray(stack), jnp.asarray(frame_idx),
-                            jnp.asarray(crop_boxes), FACE_IMAGE_SIZE)
-        all_embeddings = {name: vecs[:n_real]
-                          for name, vecs in embedders(crops).items()}
-
-        frames_seen = set()
-        for i, p in enumerate(ready):
-            emb = {name: vecs[i].tolist()
-                   for name, vecs in all_embeddings.items()}
-            rec = faces_mod.feature_record_for(
-                movie_id, p.frame, tight_boxes[i], emb, p.landmarks,
-                d_w, d_h)
-            records.write_feature(features_file, rec)
-            if cfg.save_images:
-                faces_mod.save_face_image(
-                    stack[stack_index(p.frame)], p.posterior_box, d_w,
-                    d_h, dirs.images, rec["tag"], jpeg_writer=jpeg_writer)
-            counters.saved_boxes += 1
-            frames_seen.add(p.frame)
-        counters.saved_frames += len(frames_seen)
-
-    import jax
 
     fused = None
     if hasattr(detector, "_forward") and hasattr(detector, "variables"):
         fused = FusedBlockStep(detector, tracker_cfg)
 
-    last_block_start = None
     blocks_done = 0
     for frame0, frames in reader.blocks(start_frame, end_overlap,
                                         cfg.block_frames):
@@ -386,68 +507,22 @@ def run_extract(
             det_valid, landmarks = det_valid[:real], landmarks[:real]
             emit_host = type(emit_host)(
                 *(f[:real] for f in emit_host))
-        det_slot, slot_uid, slot_box = (emit_host.det_slot,
-                                        emit_host.uid, emit_host.box)
-        scene_changes.extend(
-            (frame0 + np.nonzero(flags_np)[0]).tolist())
 
-        for rec in assembler.feed(emit_host, frame0):
-            records.write_trajectory(traj_file, rec)
-            counters.saved_trajectories += 1
-        for i in range(len(frames)):
-            for d in range(det_slot.shape[1]):
-                if not det_valid[i, d]:
-                    continue
-                s = det_slot[i, d]
-                if s < 0:
-                    continue  # capacity overflow
-                pending.append(faces_mod.PendingFace(
-                    frame=frame0 + i, uid=int(slot_uid[i, s]),
-                    posterior_box=slot_box[i, s].copy(),
-                    landmarks=landmarks[i, d]))
-
-        # keep a two-block pixel window for deferred crops
-        pixel_window[frame0] = frames
-        flush_faces(frame0 + len(frames) - 1 - (cfg.min_trajectory - 1))
-        if last_block_start is not None:
-            for b in list(pixel_window):
-                if b < last_block_start:
-                    del pixel_window[b]
-        last_block_start = frame0
-        counters.frames_processed += len(frames)
+        consumer.feed_block(frame0, frames, flags_np, emit_host,
+                            det_valid, landmarks)
         blocks_done += 1
         if (cfg.checkpoint_every_blocks > 0
                 and blocks_done % cfg.checkpoint_every_blocks == 0):
-            features_file.flush()
-            traj_file.flush()
             ckpt.save_checkpoint(
-                ckpt_path, next_frame=frame0 + len(frames),
+                ckpt_path, next_frame=frame0 + real,
                 scene_state=scene_state, tracker_state=tracker_state,
-                assembler=assembler, pending=pending, counters=counters,
-                scene_changes=scene_changes, pixel_window=pixel_window,
-                feat_offset=features_file.tell(),
-                traj_offset=traj_file.tell())
+                **consumer.snapshot())
 
-    for rec in assembler.finish():
-        records.write_trajectory(traj_file, rec)
-        counters.saved_trajectories += 1
-    flush_faces(None)
-    counters.overflow = assembler.overflow
-
-    # Divergence from the reference (extract.py:362 clips to [beg, end)):
-    # we keep cuts found in the overlap window too, so the merge union
-    # recovers cuts that land in the next shard's 2-frame statistics
-    # warm-up — keeps sharded == unsharded scene output.
-    records.write_shard_scene_changes(
-        sc_path, [f for f in scene_changes if beg <= f < end_overlap])
-
-    features_file.close()
-    traj_file.close()
+    counters = consumer.finish()
     reader.close()
     if jpeg_writer is not None:
         jpeg_writer.close()   # drains the async write queue
 
-    ckpt.mark_shard_done(dirs.root, "extract", movie_id, beg, end)
     if os.path.exists(ckpt_path):
         os.remove(ckpt_path)
     for name, value in dataclasses.asdict(counters).items():
@@ -485,6 +560,11 @@ def main(argv=None):
     parser.add_argument("--decode-workers", type=int, default=0,
                         help="parallel native decode workers "
                              "(0 = FACEREC_DECODE_WORKERS or sequential)")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="process N temporal shard spans "
+                             "simultaneously on an N-device mesh "
+                             "(0/1 = single device); outputs are "
+                             "byte-identical --n-shards N shard files")
     parser.add_argument("--facenet-weights", type=str, default=None,
                         help="directory with the four FaceNet "
                              "checkpoints (<name>.pt / <name>.h5 / "
@@ -507,9 +587,17 @@ def main(argv=None):
         save_images=not args.no_images,
         block_frames=args.block_frames,
         decode_workers=args.decode_workers)
-    run_extract(args.file, cfg, args.out_path.rstrip("/"),
-                detector_weights=args.detector_weights,
-                facenet_weights=args.facenet_weights)
+    if args.mesh > 1:
+        from facerec_tpu.parallel.extract_mesh import run_extract_mesh
+
+        run_extract_mesh(args.file, cfg, args.out_path.rstrip("/"),
+                         mesh_size=args.mesh,
+                         detector_weights=args.detector_weights,
+                         facenet_weights=args.facenet_weights)
+    else:
+        run_extract(args.file, cfg, args.out_path.rstrip("/"),
+                    detector_weights=args.detector_weights,
+                    facenet_weights=args.facenet_weights)
     minutes, seconds = divmod(time.time() - start, 60)
     print(f"Completed in {int(minutes)} minutes, {int(seconds)} seconds.")
 

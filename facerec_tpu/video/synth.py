@@ -194,6 +194,68 @@ def synth_batch(rng: np.random.Generator, batch: int, width: int,
     return frames, boxes, valid, ldm
 
 
+class PureScriptedDetector:
+    """Pure-function scripted detector (mesh/shard_map compatible).
+
+    The whole clip's ground truth is materialized as arrays; the
+    forward is a ``dynamic_slice`` by global frame index, so it can run
+    inside a jitted/shard_mapped program (unlike
+    :class:`ScriptedDetector`, whose per-block host lookup forces a
+    dispatch boundary).  Also usable on the serial host path via the
+    ``set_block_start``/``__call__`` protocol for byte-identity
+    comparisons between the two extract paths.
+    """
+
+    def __init__(self, clip: SynthClip, max_detections: int = 8,
+                 score: float = 0.99, pad_blocks: int = 1024):
+        n = clip.n_frames + pad_blocks  # slack for padded tail blocks
+        d = max_detections
+        boxes = np.zeros((n, d, 4), np.float32)
+        ldm = np.zeros((n, d, 5, 2), np.float32)
+        valid = np.zeros((n, d), bool)
+        scores = np.zeros((n, d), np.float32)
+        for f, entries in clip.truth.items():
+            for j, (box, marks) in enumerate(entries[:d]):
+                boxes[f, j] = box
+                ldm[f, j] = marks
+                valid[f, j] = True
+                scores[f, j] = score
+        self.variables = {"boxes": boxes, "ldm": ldm, "valid": valid,
+                          "scores": scores}
+        self.max_detections = max_detections
+        self._frame0 = 0
+
+    def forward_indexed(self, variables, frames, frame0):
+        import jax.lax as lax
+        import jax.numpy as jnp
+
+        from facerec_tpu.models.detector import Detections
+
+        b = frames.shape[0]
+        sl = lambda a: lax.dynamic_slice_in_dim(
+            jnp.asarray(a), frame0, b, axis=0)
+        return Detections(sl(variables["boxes"]),
+                          sl(variables["scores"]),
+                          sl(variables["ldm"]), sl(variables["valid"]))
+
+    # serial-path protocol (pipeline/extract.py host fallback)
+    def set_block_start(self, frame0: int) -> None:
+        self._frame0 = frame0
+
+    def __call__(self, frames):
+        import jax.numpy as jnp
+
+        b = frames.shape[0]
+        v = self.variables
+        f0 = self._frame0
+        from facerec_tpu.models.detector import Detections
+
+        return Detections(jnp.asarray(v["boxes"][f0:f0 + b]),
+                          jnp.asarray(v["scores"][f0:f0 + b]),
+                          jnp.asarray(v["ldm"][f0:f0 + b]),
+                          jnp.asarray(v["valid"][f0:f0 + b]))
+
+
 class ScriptedDetector:
     """Detector stand-in that replays ground-truth boxes.
 

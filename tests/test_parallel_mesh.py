@@ -1,0 +1,142 @@
+"""Production mesh extract vs serial shard loop: byte identity.
+
+run_extract_mesh processes n temporal spans simultaneously on an
+n-device mesh (8 virtual CPU devices here).  Its promise is that the
+shard files it writes are byte-identical to a serial ``--n-shards n``
+loop — same trajectories, features, images and scene-change files —
+so the merge stage and everything downstream cannot tell the paths
+apart (VERDICT r1 next-step #4).
+"""
+import filecmp
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from facerec_tpu.config import ExtractConfig, MergeConfig
+from facerec_tpu.parallel.extract_mesh import run_extract_mesh
+from facerec_tpu.parallel.mesh import frame_mesh
+from facerec_tpu.pipeline.extract import run_extract
+from facerec_tpu.pipeline.merge import run_merge
+from facerec_tpu.video.synth import PureScriptedDetector, make_clip
+from tests.test_extract_e2e import StubEmbedderBank
+
+N_DEV = 4
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mesh") / "125261-MeshFilm.mp4")
+    return make_clip(path, n_frames=70, cuts=(30,), seed=21)
+
+
+def _tree_bytes(root):
+    """relative path → bytes for every file under root."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            rel = os.path.relpath(p, root)
+            with open(p, "rb") as fh:
+                out[rel] = fh.read()
+    return out
+
+
+@pytest.fixture(scope="module")
+def both_runs(clip, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("runs")
+    cfg = ExtractConfig(block_frames=16, max_detections=8, max_tracks=16)
+
+    out_serial = str(tmp / "serial")
+    for i in range(N_DEV):
+        scfg = ExtractConfig(n_shards=N_DEV, shard_i=i, block_frames=16,
+                             max_detections=8, max_tracks=16)
+        run_extract(clip.path, scfg, out_serial,
+                    detector=PureScriptedDetector(clip, max_detections=8),
+                    embedders=StubEmbedderBank())
+
+    out_mesh = str(tmp / "mesh")
+    mesh = frame_mesh(jax.devices()[:N_DEV])
+    counters = run_extract_mesh(
+        clip.path, cfg, out_mesh, mesh=mesh,
+        detector=PureScriptedDetector(clip, max_detections=8),
+        embedders=StubEmbedderBank())
+    return out_serial, out_mesh, counters
+
+
+def test_mesh_writes_byte_identical_shard_files(both_runs):
+    out_serial, out_mesh, counters = both_runs
+    assert len(counters) == N_DEV
+    assert sum(c.frames_processed for c in counters) >= 70
+
+    for sub in ("trajectories", "features", "scene_changes", "images"):
+        a = _tree_bytes(f"{out_serial}/125261-data/{sub}")
+        b = _tree_bytes(f"{out_mesh}/125261-data/{sub}")
+        assert set(a) == set(b), (sub, set(a) ^ set(b))
+        for rel in a:
+            assert a[rel] == b[rel], f"{sub}/{rel} differs"
+
+
+def test_mesh_merge_matches_serial_and_unsharded(both_runs, clip,
+                                                 tmp_path):
+    """Merged mesh output is byte-identical to merged serial-shard
+    output, and content-equivalent to an unsharded single run (whose
+    merged file ORDER legitimately differs: expiry order vs
+    shard-merge order)."""
+    out_serial, out_mesh, _ = both_runs
+    cfg = MergeConfig(min_face_size=20)
+    run_merge(f"{out_mesh}/125261-data", 125261, cfg)
+    run_merge(f"{out_serial}/125261-data", 125261, cfg)
+
+    for name in ("trajectories.jsonl", "features.jsonl",
+                 "scene_changes.json"):
+        with open(f"{out_mesh}/125261-data/{name}", "rb") as f:
+            got = f.read()
+        with open(f"{out_serial}/125261-data/{name}", "rb") as f:
+            want = f.read()
+        assert got == want, name
+
+    out_one = str(tmp_path / "one")
+    run_extract(clip.path,
+                ExtractConfig(block_frames=16, max_detections=8,
+                              max_tracks=16),
+                out_one,
+                detector=PureScriptedDetector(clip, max_detections=8),
+                embedders=StubEmbedderBank())
+    run_merge(f"{out_one}/125261-data", 125261, cfg)
+
+    def trajs(p):
+        out = [json.loads(l) for l in open(p)]
+        assert out, p
+        return sorted(out, key=lambda t: (t["start"], t["len"]))
+
+    got = trajs(f"{out_mesh}/125261-data/trajectories.jsonl")
+    want = trajs(f"{out_one}/125261-data/trajectories.jsonl")
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert (a["start"], a["len"]) == (b["start"], b["len"])
+        # Kalman re-initialization at stitched span boundaries moves
+        # posterior boxes by a pixel or two (same tolerance as
+        # test_extract_e2e.test_shard_vs_unsharded)
+        np.testing.assert_allclose(a["bbs"], b["bbs"], atol=2)
+    sc_mesh = json.load(open(f"{out_mesh}/125261-data/scene_changes.json"))
+    sc_one = json.load(open(f"{out_one}/125261-data/scene_changes.json"))
+    assert sc_mesh == sc_one == {"frame_indices": [30],
+                                 "movie_id": 125261}
+
+
+def test_pure_scripted_detector_paths_agree(clip):
+    """The pure (mesh) and host (serial) protocols of
+    PureScriptedDetector return the same detections."""
+    import jax.numpy as jnp
+
+    det = PureScriptedDetector(clip, max_detections=8)
+    frames = jnp.zeros((16, clip.height, clip.width, 3), jnp.uint8)
+    det.set_block_start(10)
+    host = det(frames)
+    pure = det.forward_indexed(det.variables, frames, jnp.int32(10))
+    for a, b in zip(host, pure):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

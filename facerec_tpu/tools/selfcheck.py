@@ -204,6 +204,15 @@ def main(argv=None):
     parser.add_argument("--film-frames", type=int, default=240)
     parser.add_argument("--face-threshold", type=float, default=0.9)
     parser.add_argument("--detector-size", type=int, default=512)
+    parser.add_argument("--assert", dest="assert_gates",
+                        action="store_true",
+                        help="fail (exit 1) when quality gates regress: "
+                             "detection precision/recall, scene cuts, "
+                             "cluster purity, classification accuracy")
+    parser.add_argument("--min-precision", type=float, default=0.9)
+    parser.add_argument("--min-recall", type=float, default=0.9)
+    parser.add_argument("--min-purity", type=float, default=0.9)
+    parser.add_argument("--min-accuracy", type=float, default=0.9)
     args = parser.parse_args(argv)
     if args.identities < 3:
         parser.error("--identities must be >= 3 (the classify stage "
@@ -333,6 +342,52 @@ def main(argv=None):
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
 
+    if args.assert_gates:
+        failures = check_gates(
+            report, min_precision=args.min_precision,
+            min_recall=args.min_recall, min_purity=args.min_purity,
+            min_accuracy=args.min_accuracy)
+        if failures:
+            print("SELFCHECK GATES FAILED:", flush=True)
+            for f in failures:
+                print(f"  - {f}", flush=True)
+            return 1
+        print("Selfcheck gates passed.", flush=True)
+    return 0
+
+
+def check_gates(report: dict, min_precision: float = 0.9,
+                min_recall: float = 0.9, min_purity: float = 0.9,
+                min_accuracy: float = 0.9):
+    """Quality-gate evaluation on a selfcheck report; returns failure
+    messages (empty = all gates pass).
+
+    The reference has no automated QA at all (SURVEY.md §4); these
+    gates are the CI replacement for its manual inspection scripts —
+    a train-from-scratch regression in detector/embedder/pipeline
+    fails the run instead of shipping green.
+    """
+    failures = []
+    det = report.get("detection", {})
+
+    def gate(name, value, minimum):
+        if value is None:
+            failures.append(f"{name}: missing (expected >= {minimum})")
+        elif value < minimum:
+            failures.append(f"{name}: {value} < {minimum}")
+
+    gate("detection precision", det.get("precision"), min_precision)
+    gate("detection recall", det.get("recall"), min_recall)
+    gate("cluster purity", report.get("cluster_purity"), min_purity)
+    gate("classify accuracy", report.get("classify_accuracy"),
+         min_accuracy)
+    found = set(report.get("scene_cuts_found", []))
+    for cut in report.get("scene_cuts_truth", []):
+        if cut not in found:
+            failures.append(f"scene cut {cut}: not detected "
+                            f"(found {sorted(found)})")
+    return failures
+
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -135,6 +135,10 @@ class DetectorTrainer:
     input_size: Tuple[int, int]
     mesh: Optional[Mesh] = None
     learning_rate: float = 1e-3
+    # False for datasets without landmark annotations (e.g. WIDER-FACE
+    # bbx_gt): the landmark head gets no gradient, boxes/scores train
+    # normally.  gt_landmarks is then ignored (pass zeros).
+    use_landmarks: bool = True
 
     def __post_init__(self):
         self.tx = optax.adam(self.learning_rate)
@@ -147,7 +151,9 @@ class DetectorTrainer:
                 {"params": params, "batch_stats": batch_stats}, x,
                 train=True, mutable=["batch_stats"])
             targets = jax.vmap(
-                lambda b, v, l: anchor_targets(self.anchors, b, v, l)
+                lambda b, v, l: anchor_targets(
+                    self.anchors, b, v,
+                    l if self.use_landmarks else None)
             )(gt_boxes, gt_valid, gt_landmarks)
             loss, _ = detector_loss(raw, targets)
             return loss, mutated["batch_stats"]

@@ -52,3 +52,35 @@ def test_cluster_purity_excludes_unknown():
     # nothing known at all → purity is None, not a perfect score
     purity, _ = cluster_purity([0, 0], [-1, -1])
     assert purity is None
+
+
+def test_check_gates_pass_and_fail():
+    from facerec_tpu.tools.selfcheck import check_gates
+
+    good = {
+        "detection": {"precision": 0.95, "recall": 0.93},
+        "cluster_purity": 1.0,
+        "classify_accuracy": 1.0,
+        "scene_cuts_found": [80, 160],
+        "scene_cuts_truth": [80, 160],
+    }
+    assert check_gates(good) == []
+
+    bad = {
+        "detection": {"precision": 0.5, "recall": 0.93},
+        "cluster_purity": 0.6,
+        "classify_accuracy": None,
+        "scene_cuts_found": [80],
+        "scene_cuts_truth": [80, 160],
+    }
+    failures = check_gates(bad)
+    joined = "\n".join(failures)
+    assert "precision" in joined
+    assert "purity" in joined
+    assert "accuracy" in joined and "missing" in joined
+    assert "scene cut 160" in joined
+    assert len(failures) == 4
+
+    # thresholds are tunable
+    assert check_gates(bad, min_precision=0.4, min_purity=0.5,
+                       min_accuracy=0.0) != []  # accuracy None still fails

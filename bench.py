@@ -1,14 +1,25 @@
 #!/usr/bin/env python3
 """Headline benchmark: extract-pipeline frames/sec on one chip.
 
-Measures the device path of the extract stage — scene statistics
-(Pallas histogram equalization) + single-stage detection (AR-fitted
-384×512, bf16) + the SORT tracker scan + face crop + 4×FaceNet embedding — as
-ONE fused XLA program per 128-frame block at film display resolution.
-Blocks are dispatched back-to-back with device-to-device data
-dependencies only; the host syncs once at the end, so the number is
-pure device throughput (what a double-buffered production extract
-sustains per chip).
+Default mode measures the device path of the extract stage — scene
+statistics (Pallas histogram equalization) + single-stage detection
+(AR-fitted 384×512, bf16) + the SORT tracker scan + face crop +
+4×FaceNet embedding — as ONE fused XLA program per 128-frame block at
+film display resolution.  Blocks are dispatched back-to-back with
+device-to-device data dependencies only; the host syncs once at the
+end, so the number is pure device throughput (what a double-buffered
+production extract sustains per chip).
+
+``--e2e`` instead measures the REAL production loop end to end: a
+synthetic 576×768 mp4 through ``run_extract`` — native C++ decode,
+host→device block upload, the fused device program (full detector
+FLOPs; detections overlaid from the clip's ground truth so the
+downstream crop/embed/JPEG load is realistic), batched crop+embed,
+JPEG face images and contract files — reporting wall frames/s per
+decode-worker setting plus a decode-only baseline.  On the tunneled
+bench harness host↔device transfers are capped (~35 MB/s after the
+first fetch), so the e2e number there is transfer-bound; on a real
+host (PCIe) decode is the bound, which the decode-only number shows.
 
 The baseline is the effective cluster throughput the reference
 provisions for the same work: 100 SLURM GPU shards × ~1800 frames
@@ -19,7 +30,9 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
+import argparse
 import json
+import os
 import sys
 import time
 
@@ -36,6 +49,119 @@ DETECTOR_SIZE = (384, 512)   # AR-fitted to 576x768 (models.detector.fit_input_s
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+class HybridDetector:
+    """Real detector FLOPs, scripted ground-truth detections.
+
+    The full FaceDetector forward runs (so the e2e bench pays the real
+    conv cost) but its decoded outputs are replaced by the synthetic
+    clip's truth — overlaid with a zero-valued dependency on the real
+    scores so XLA cannot dead-code the model — giving the downstream
+    tracker/crop/embed/JPEG stages a deterministic, realistic load.
+    """
+
+    def __init__(self, harness, scripted):
+        self.harness = harness
+        self.scripted = scripted
+        self.variables = {"h": harness.variables,
+                          "s": scripted.variables}
+
+    def forward_indexed(self, variables, frames, frame0):
+        import jax.numpy as jnp
+
+        real = self.harness._forward(variables["h"], frames)
+        truth = self.scripted.forward_indexed(variables["s"], frames,
+                                              frame0)
+        anchor = (real.scores.astype(jnp.float32).sum() * 0.0)
+        return type(real)(truth.boxes + anchor, truth.scores + anchor,
+                          truth.landmarks + anchor, truth.valid)
+
+
+def bench_e2e(n_frames: int, worker_settings) -> None:
+    import jax.numpy as jnp
+
+    from facerec_tpu.config import ExtractConfig
+    from facerec_tpu.models import DetectorHarness
+    from facerec_tpu.pipeline.extract import EmbedderBank, run_extract
+    from facerec_tpu.video.reader import open_block_reader, probe_video
+    from facerec_tpu.video.synth import PureScriptedDetector, make_clip
+
+    import pickle
+
+    os.environ.setdefault("FACEREC_ALLOW_RANDOM", "1")
+    film = f"/tmp/facerec_bench/125261-Bench{n_frames}.mp4"
+    truth_path = film + ".truth.pkl"
+    os.makedirs(os.path.dirname(film), exist_ok=True)
+    if not (os.path.exists(film) and os.path.exists(truth_path)):
+        log(f"synthesizing {n_frames}-frame 576x768 film...")
+        clip = make_clip(film + ".tmp.mp4", n_frames=n_frames,
+                         width=WIDTH, height=HEIGHT,
+                         cuts=tuple(range(200, n_frames, 200)), seed=5)
+        os.replace(film + ".tmp.mp4", film)
+        clip = clip.__class__(**{**clip.__dict__, "path": film})
+        with open(truth_path, "wb") as f:
+            pickle.dump(clip, f)
+    with open(truth_path, "rb") as f:
+        clip = pickle.load(f)
+
+    info = probe_video(film, None)
+
+    # decode-only baseline: what the native reader alone sustains
+    for workers in worker_settings:
+        r = open_block_reader(film, info, BLOCK, decode_workers=workers)
+        t0 = time.perf_counter()
+        seen = 0
+        for _f0, frames in r.blocks(0, info.n_frames, BLOCK):
+            seen += len(frames)
+        dt = time.perf_counter() - t0
+        r.close()
+        log(f"decode-only (workers={workers}): {seen / dt:.0f} fps")
+
+    compute_dtype = jnp.bfloat16
+    harness = DetectorHarness.create(
+        input_size=DETECTOR_SIZE, max_detections=16,
+        score_threshold=0.95, dtype=compute_dtype)
+    bank = EmbedderBank.create_default(dtype=compute_dtype)
+
+    detector = HybridDetector(
+        harness, PureScriptedDetector(clip, max_detections=16))
+
+    results = {}
+    for workers in worker_settings:
+        out = f"/tmp/facerec_bench/out_w{workers}"
+        os.system(f"rm -rf {out} {out}_warm")
+        cfg = ExtractConfig(block_frames=BLOCK, decode_workers=workers,
+                            resume=False)
+
+        # warm the jit caches with a short shard (same block shapes)
+        warm_shards = max(4, n_frames // (2 * BLOCK))
+        log(f"[workers={workers}] warmup shard "
+            f"({n_frames // warm_shards} frames)...")
+        t0 = time.perf_counter()
+        run_extract(film, ExtractConfig(
+            n_shards=warm_shards, shard_i=0, block_frames=BLOCK,
+            decode_workers=workers, resume=False),
+            out + "_warm", detector=detector, embedders=bank)
+        log(f"  warmup {time.perf_counter() - t0:.1f}s")
+
+        t0 = time.perf_counter()
+        counters = run_extract(film, cfg, out, detector=detector,
+                               embedders=bank)
+        dt = time.perf_counter() - t0
+        fps = counters.frames_processed / dt
+        results[workers] = fps
+        log(f"[workers={workers}] e2e {fps:.1f} fps "
+            f"({counters.frames_processed} frames, "
+            f"{counters.saved_boxes} faces, {dt:.1f}s)")
+
+    best = max(results.values())
+    print(json.dumps({
+        "metric": "extract_e2e_frames_per_sec_per_chip",
+        "value": round(best, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(best / BASELINE_FPS, 2),
+    }))
 
 
 def main() -> None:
@@ -123,4 +249,21 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--e2e", action="store_true",
+                        help="measure the full production loop "
+                             "(decode→device→files) instead of the "
+                             "device program")
+    parser.add_argument("--frames", type=int, default=1500,
+                        help="synthetic film length for --e2e")
+    parser.add_argument("--decode-workers", type=str, default="0,2",
+                        help="comma-separated settings to sweep")
+    args = parser.parse_args()
+    if args.e2e:
+        from facerec_tpu.runtime import ensure_platform
+
+        ensure_platform()
+        bench_e2e(args.frames,
+                  [int(w) for w in args.decode_workers.split(",")])
+    else:
+        main()

@@ -39,11 +39,22 @@ def knn_predict_proba(train_x: np.ndarray, train_y: np.ndarray,
     Returns:
         (proba (Q, C) float32, classes (C,) sorted unique class ids) —
         matching sklearn's ``predict_proba`` / ``classes_`` contract.
+
+    Edge semantics vs sklearn: ``k > len(train_x)`` raises, as sklearn
+    does.  Exact distance ties resolve to the lower training index in
+    both (``lax.top_k`` and sklearn's stable sort agree); near-ties can
+    differ because the matmul distance form rounds differently from
+    sklearn's pairwise euclidean — irrelevant for real embeddings,
+    validated against sklearn byte-for-byte in
+    tests/test_reference_parity.py.
     """
     classes, class_idx = np.unique(train_y, return_inverse=True)
     if len(query) == 0:
         return np.zeros((0, len(classes)), np.float32), classes
-    k = min(k, len(train_x))
+    if k > len(train_x):
+        raise ValueError(
+            f"Expected n_neighbors <= n_samples_fit, but "
+            f"n_neighbors = {k}, n_samples_fit = {len(train_x)}")
     mask = jnp.zeros((k, len(classes)))  # shape carrier for (k, C)
     proba = _knn_votes(jnp.asarray(train_x, jnp.float32),
                        jnp.asarray(class_idx, jnp.int32),

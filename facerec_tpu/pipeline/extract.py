@@ -57,9 +57,14 @@ class FusedBlockStep:
     computation per frame block — a single device dispatch where the
     reference pays a Python/TF round trip per frame (extract.py:281-342).
 
-    Only usable with a :class:`~facerec_tpu.models.DetectorHarness`
-    (pure-function detector); host-side detectors fall back to the
-    three-dispatch path in :func:`run_extract`.
+    The host-consumed payload (flags, tracker emissions, detection
+    validity + landmarks) comes back as ONE packed uint8 buffer
+    (runtime/transfer.py) so the block costs a single device→host
+    transfer; :meth:`unpack` restores the pytree.
+
+    Only usable with a pure-function detector (``_forward`` or
+    ``forward_indexed`` + ``variables``); host-side detectors fall back
+    to the multi-dispatch path in :func:`run_extract`.
     """
 
     def __init__(self, detector, tracker_cfg: TrackerConfig):
@@ -67,25 +72,57 @@ class FusedBlockStep:
         import jax.numpy as jnp
 
         from facerec_tpu.ops import scene as scene_ops
+        from facerec_tpu.runtime.transfer import pack_tree
 
         self.detector = detector
         self.tracker_cfg = tracker_cfg
 
         def step(det_vars, frames, scene_state, tracker_state, frame0):
-            flags, scene_state = scene_ops._detect_block_impl(
-                frames, scene_state)
-            det = detector._forward(det_vars, frames)
-            tracker_state, emit = run_block(
-                tracker_cfg, tracker_state, det.boxes, det.valid, flags,
-                frame0)
-            return flags, det, emit, scene_state, tracker_state
+            # named scopes → XLA op metadata → per-subsystem device-ms
+            # attribution in profiler traces (scripts/profile_block.py)
+            with jax.named_scope("scene"):
+                flags, scene_state = scene_ops._detect_block_impl(
+                    frames, scene_state)
+            with jax.named_scope("detector"):
+                if hasattr(detector, "forward_indexed"):
+                    det = detector.forward_indexed(det_vars, frames,
+                                                   frame0)
+                else:
+                    det = detector._forward(det_vars, frames)
+            with jax.named_scope("tracker"):
+                tracker_state, emit = run_block(
+                    tracker_cfg, tracker_state, det.boxes, det.valid,
+                    flags, frame0)
+            return (flags, emit, det.valid, det.landmarks), \
+                scene_state, tracker_state
 
-        self._jitted = jax.jit(step)
+        def packed_step(*args):
+            payload, scene_state, tracker_state = step(*args)
+            return pack_tree(payload), scene_state, tracker_state
+
+        self._step = step
+        self._jitted = jax.jit(packed_step)
         self._jnp = jnp
+        self._jax = jax
+        self._spec = None
 
     def __call__(self, frames, scene_state, tracker_state, frame0: int):
-        return self._jitted(self.detector.variables, frames, scene_state,
-                            tracker_state, self._jnp.int32(frame0))
+        """→ (packed payload (uint8, device), scene_state,
+        tracker_state)."""
+        args = (self.detector.variables, frames, scene_state,
+                tracker_state, self._jnp.int32(frame0))
+        if self._spec is None:
+            from facerec_tpu.runtime.transfer import tree_spec
+
+            payload_shape, _, _ = self._jax.eval_shape(self._step, *args)
+            self._spec = tree_spec(payload_shape)
+        return self._jitted(*args)
+
+    def unpack(self, packed_host):
+        """Fetched uint8 buffer → (flags, emit, det_valid, landmarks)."""
+        from facerec_tpu.runtime.transfer import unpack_tree
+
+        return unpack_tree(packed_host, *self._spec)
 
 
 class EmbedderBank:
@@ -126,10 +163,16 @@ class EmbedderBank:
         return cls(load_facenet_embedders(weights_dir, dtype=dtype))
 
     def __call__(self, crops) -> Dict[str, np.ndarray]:
-        import jax
+        import jax.numpy as jnp
 
-        outs = jax.device_get(self.pooled(crops))
-        return dict(zip(self.pooled.names, outs))
+        # concatenate on device → ONE device→host transfer for all
+        # four checkpoints (per-buffer fetch overhead dominates small
+        # transfers; see runtime/transfer.py)
+        outs = self.pooled(crops)
+        dims = [int(o.shape[-1]) for o in outs]
+        flat = np.asarray(jnp.concatenate(outs, axis=-1))
+        split = np.split(flat, np.cumsum(dims)[:-1], axis=-1)
+        return dict(zip(self.pooled.names, split))
 
 
 class ShardConsumer:
@@ -190,12 +233,20 @@ class ShardConsumer:
             self.scene_changes = resume_state["scene_changes"]
         self._last_block_start = (max(self.pixel_window)
                                   if self.pixel_window else None)
+        # Device-resident mirror of the pixel window: the block step
+        # already uploaded the frames, so crops read them from HBM
+        # instead of re-uploading the whole window per flush (not
+        # checkpointed — a resumed run falls back to host upload for
+        # its first flush).
+        self.dev_window: Dict[int, object] = {}
 
     def feed_block(self, frame0: int, frames: np.ndarray,
                    flags: np.ndarray, emit_host, det_valid: np.ndarray,
-                   landmarks: np.ndarray) -> None:
+                   landmarks: np.ndarray, dev_frames=None) -> None:
         """Consume one block's device outputs (already truncated to the
-        block's real frame count)."""
+        block's real frame count).  ``dev_frames`` optionally passes the
+        block's device-resident pixels (same real-row contents) so the
+        crop dispatch avoids a host→device re-upload."""
         cfg = self.cfg
         det_slot, slot_uid, slot_box = (emit_host.det_slot,
                                         emit_host.uid, emit_host.box)
@@ -219,12 +270,15 @@ class ShardConsumer:
 
         # keep a two-block pixel window for deferred crops
         self.pixel_window[frame0] = frames
+        if dev_frames is not None:
+            self.dev_window[frame0] = dev_frames
         self.flush_faces(frame0 + len(frames) - 1
                          - (cfg.min_trajectory - 1))
         if self._last_block_start is not None:
             for b in list(self.pixel_window):
                 if b < self._last_block_start:
                     del self.pixel_window[b]
+                    self.dev_window.pop(b, None)
         self._last_block_start = frame0
         self.counters.frames_processed += len(frames)
 
@@ -251,9 +305,16 @@ class ShardConsumer:
         if not ready:
             return
 
-        # Device: batched crop + embed for every ready face.
+        # Device: batched crop + embed for every ready face.  Crops
+        # read the device-resident window when the whole window is
+        # mirrored there (no re-upload); the host copy feeds JPEGs.
         block_starts = sorted(self.pixel_window)
         stack = np.concatenate([self.pixel_window[b] for b in block_starts])
+        if all(b in self.dev_window for b in block_starts):
+            dev_stack = jnp.concatenate(
+                [self.dev_window[b] for b in block_starts])
+        else:
+            dev_stack = jnp.asarray(stack)
         offsets = {}
         off = 0
         for b in block_starts:
@@ -284,7 +345,7 @@ class ShardConsumer:
             frame_idx = np.concatenate(
                 [frame_idx,
                  np.full(bucket - n_real, frame_idx[-1], np.int32)])
-        crops = crop_resize(jnp.asarray(stack), jnp.asarray(frame_idx),
+        crops = crop_resize(dev_stack, jnp.asarray(frame_idx),
                             jnp.asarray(crop_boxes), FACE_IMAGE_SIZE)
         all_embeddings = {name: vecs[:n_real]
                           for name, vecs in self.embedders(crops).items()}
@@ -469,15 +530,31 @@ def run_extract(
         print(f"Resuming shard {beg}-{end} at frame {start_frame}")
 
     fused = None
-    if hasattr(detector, "_forward") and hasattr(detector, "variables"):
+    if hasattr(detector, "variables") and (
+            hasattr(detector, "_forward")
+            or hasattr(detector, "forward_indexed")):
         fused = FusedBlockStep(detector, tracker_cfg)
 
     blocks_done = 0
-    for frame0, frames in reader.blocks(start_frame, end_overlap,
-                                        cfg.block_frames):
-        # Pad a short tail block to the compiled block shape (repeat the
-        # last frame) so no second program is ever compiled; everything
-        # below consumes only the first `real` rows, and the carried
+    # per-phase wall time: where an underperforming e2e run spends it
+    phase = {"decode": 0.0, "dispatch": 0.0, "fetch": 0.0,
+             "consume": 0.0}
+    block_iter = reader.blocks(start_frame, end_overlap,
+                               cfg.block_frames)
+
+    from facerec_tpu.runtime.transfer import (pack_tree, tree_spec,
+                                              unpack_tree)
+
+    pack_jit = None
+    host_spec = None
+
+    def dispatch_block(nxt):
+        """Upload + enqueue one block's device work; nothing waits."""
+        nonlocal scene_state, tracker_state, pack_jit, host_spec
+        frame0, frames = nxt
+        # Pad a short tail block to the compiled block shape (repeat
+        # the last frame) so no second program is ever compiled;
+        # consumers read only the first `real` rows, and the carried
         # state is never used again after the tail block.
         real = len(frames)
         if real < cfg.block_frames:
@@ -486,8 +563,9 @@ def run_extract(
                                    axis=0)])
         dev_frames = jnp.asarray(frames)
         if fused is not None:
-            flags, det, emit, scene_state, tracker_state = fused(
+            packed, scene_state, tracker_state = fused(
                 dev_frames, scene_state, tracker_state, frame0)
+            unpack = fused.unpack
         else:
             flags, scene_state = scene_ops.detect_block(dev_frames,
                                                         scene_state)
@@ -497,26 +575,70 @@ def run_extract(
             tracker_state, emit = run_block(
                 tracker_cfg, tracker_state, det.boxes, det.valid, flags,
                 jnp.int32(frame0))
+            payload = (flags, emit, det.valid, det.landmarks)
+            if pack_jit is None:
+                pack_jit = jax.jit(pack_tree)
+                host_spec = tree_spec(payload)
+            packed = pack_jit(payload)
+            unpack = lambda buf: unpack_tree(buf, *host_spec)
+        return {"frame0": frame0, "frames": frames, "real": real,
+                "packed": packed, "dev": dev_frames, "unpack": unpack}
 
-        # one host fetch for everything the block loop consumes
-        flags_np, emit_host, det_valid, landmarks = jax.device_get(
-            (flags, emit, det.valid, det.landmarks))
+    def consume_block(blk):
+        """Fetch the block's packed payload (waits) and feed it to the
+        shard consumer."""
+        nonlocal blocks_done
+        t0 = time.perf_counter()
+        buf = np.asarray(blk["packed"])
+        phase["fetch"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        flags_np, emit_host, det_valid, landmarks = blk["unpack"](buf)
+        real, frames, dev = blk["real"], blk["frames"], blk["dev"]
         if real < cfg.block_frames:
             frames = frames[:real]
             flags_np = flags_np[:real]
             det_valid, landmarks = det_valid[:real], landmarks[:real]
-            emit_host = type(emit_host)(
-                *(f[:real] for f in emit_host))
-
-        consumer.feed_block(frame0, frames, flags_np, emit_host,
-                            det_valid, landmarks)
+            emit_host = type(emit_host)(*(f[:real] for f in emit_host))
+            dev = dev[:real]
+        consumer.feed_block(blk["frame0"], frames, flags_np, emit_host,
+                            det_valid, landmarks, dev_frames=dev)
+        phase["consume"] += time.perf_counter() - t0
         blocks_done += 1
-        if (cfg.checkpoint_every_blocks > 0
-                and blocks_done % cfg.checkpoint_every_blocks == 0):
-            ckpt.save_checkpoint(
-                ckpt_path, next_frame=frame0 + real,
-                scene_state=scene_state, tracker_state=tracker_state,
-                **consumer.snapshot())
+
+    # Software pipeline, depth 1: block k+1 is decoded + dispatched
+    # before block k's payload is fetched, so the device computes and
+    # the device→host transfer overlap the host work instead of
+    # serializing with it.
+    pending = None
+    while True:
+        t0 = time.perf_counter()
+        nxt = next(block_iter, None)
+        phase["decode"] += time.perf_counter() - t0
+        cur = None
+        if nxt is not None:
+            t0 = time.perf_counter()
+            cur = dispatch_block(nxt)
+            phase["dispatch"] += time.perf_counter() - t0
+        if pending is not None:
+            consume_block(pending)
+            if (cfg.checkpoint_every_blocks > 0
+                    and blocks_done % cfg.checkpoint_every_blocks == 0):
+                # Drain the pipeline first: the checkpointed device
+                # state must match the files written so far.
+                if cur is not None:
+                    consume_block(cur)
+                    next_frame = cur["frame0"] + cur["real"]
+                    cur = None
+                else:
+                    next_frame = pending["frame0"] + pending["real"]
+                ckpt.save_checkpoint(
+                    ckpt_path, next_frame=next_frame,
+                    scene_state=scene_state,
+                    tracker_state=tracker_state,
+                    **consumer.snapshot())
+        pending = cur
+        if nxt is None and pending is None:
+            break
 
     counters = consumer.finish()
     reader.close()
@@ -527,6 +649,8 @@ def run_extract(
         os.remove(ckpt_path)
     for name, value in dataclasses.asdict(counters).items():
         report.set(name, value)
+    for name, value in phase.items():
+        report.set(f"{name}_seconds", round(value, 3))
     report.write(dirs.root)
 
     print(f"Saved {counters.saved_boxes} boxes from "

@@ -33,12 +33,17 @@ bs, bn = bank.pooled.backbone_stack, bank.pooled.bottlenecks
 
 def block_step(det_vars, bs, bn, frames, scene_state, tracker_state,
                crop_boxes, crop_frames):
-    flags, scene_state = scene_ops._detect_block_impl(frames, scene_state)
-    det = detector._forward(det_vars, frames)
-    tracker_state, emit = _run_block_impl(
-        tracker_cfg, tracker_state, det.boxes, det.valid, flags, jnp.int32(0))
-    crops = crop_resize(frames, crop_frames, crop_boxes, 160)
-    embs = bank.pooled._embed(bs, bn, crops)
+    with jax.named_scope("scene"):
+        flags, scene_state = scene_ops._detect_block_impl(frames, scene_state)
+    with jax.named_scope("detector"):
+        det = detector._forward(det_vars, frames)
+    with jax.named_scope("tracker"):
+        tracker_state, emit = _run_block_impl(
+            tracker_cfg, tracker_state, det.boxes, det.valid, flags,
+            jnp.int32(0))
+    with jax.named_scope("cropembed"):
+        crops = crop_resize(frames, crop_frames, crop_boxes, 160)
+        embs = bank.pooled._embed(bs, bn, crops)
     emb_sum = sum(e.sum().astype(jnp.float32) for e in embs)
     fp = flags.sum().astype(jnp.float32) + emit.box.sum() + emb_sum
     return fp, scene_state, tracker_state
@@ -100,12 +105,51 @@ for pid, name in pids.items():
 
 # Aggregate device ops (TPU pid names contain 'TPU' or 'XLA Op')
 agg = {}
+ev_args = {}
 for pid, name in pids.items():
     if "TPU" not in name and "tpu" not in name:
         continue
     for e in ev_by_pid.get(pid, []):
         nm = e["name"]
         agg[nm] = agg.get(nm, 0) + e.get("dur", 0)
+        a = e.get("args", {})
+        if a and nm not in ev_args:
+            ev_args[nm] = a
 top = sorted(agg.items(), key=lambda kv: -kv[1])[:60]
 for nm, us in top:
     print(f"{us/1e3:9.3f} ms  {nm}")
+
+# Per-subsystem attribution: the named scopes in block_step land in
+# each op's metadata (perfetto 'args' long_name/tf_op); fused ops are
+# attributed to the first scope found in their combined metadata.
+SUBSYSTEMS = ("scene", "detector", "tracker", "cropembed")
+
+
+def classify(nm):
+    blob = nm + " " + " ".join(
+        str(v) for v in ev_args.get(nm, {}).values())
+    for s in SUBSYSTEMS:
+        if s in blob:
+            return s
+    return "other"
+
+
+sub_us = {}
+for nm, us in agg.items():
+    sub_us[classify(nm)] = sub_us.get(classify(nm), 0) + us
+total_us = sum(sub_us.values()) or 1
+# the trace covers 2 block steps
+per_block = {k: round(v / 2e3, 3) for k, v in sorted(
+    sub_us.items(), key=lambda kv: -kv[1])}
+print("per-subsystem device ms/block:", json.dumps(per_block))
+
+if "--report" in sys.argv:
+    out_dir = sys.argv[sys.argv.index("--report") + 1]
+    from facerec_tpu.runtime.metrics import StageReport
+
+    rep = StageReport("device_profile")
+    for k, v in per_block.items():
+        rep.set(f"{k}_ms_per_block", v)
+    rep.set("block_frames", BLOCK)
+    rep.write(out_dir)
+    log(f"wrote device_profile into {out_dir}/run_report.json")

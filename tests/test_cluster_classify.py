@@ -176,3 +176,10 @@ def test_classify_too_few_classes(tmp_path, rng):
     # <3 classes → bare {cluster: {}} map, default json format
     assert (data_dir / "predictions.json").read_text() == \
         '{"0": {}, "1": {}}'
+
+
+def test_knn_k_too_large_raises_like_sklearn(rng):
+    x = rng.normal(size=(5, 4)).astype(np.float32)
+    y = np.arange(5)
+    with pytest.raises(ValueError, match="n_neighbors"):
+        knn_predict_proba(x, y, x, k=10)

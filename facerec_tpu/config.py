@@ -64,8 +64,14 @@ class ExtractConfig:
     max_detections: int = 16          # per-frame detection capacity
     max_tracks: int = 32              # live track table capacity
     # Detector input (H, W); None = fit to the film's aspect ratio
-    # (long side 512, stride-32 multiples) so no FLOPs run on padding.
+    # (stride-32 multiples) so no FLOPs run on padding.
     detector_size: Optional[Tuple[int, int]] = None
+    # Long side of the AR-fitted detector input.  512 downscales a
+    # 576x768 film 1.5x: measured recall on 28-44 px faces 0.93 vs
+    # 1.0 at native resolution (768), at ~2.25x less detector compute
+    # (tools/detector_eval.py --sweep-long-side).  Raise for films
+    # with many small faces.
+    detector_long_side: int = 512
     compute_dtype: str = "bfloat16"
 
     # Parallel native decode workers (each seeks per claimed block —

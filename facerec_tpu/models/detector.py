@@ -283,6 +283,13 @@ class DetectorHarness:
         boxes = boxes / scale
         landmarks = landmarks / scale
 
+        # Clamp to the display frame BEFORE the size filter: a box
+        # whose visible part is smaller than min_face_size is not a
+        # detection, and boxes decoded entirely into the letterbox
+        # padding collapse to zero size and die here.
+        lim = jnp.asarray([w, h, w, h], jnp.float32)
+        boxes = jnp.clip(boxes, 0.0, lim)
+
         wh = jnp.minimum(boxes[..., 2] - boxes[..., 0],
                          boxes[..., 3] - boxes[..., 1])
         keep = (scores > self.score_threshold) & (wh >= self.min_face_size)
@@ -307,8 +314,4 @@ class DetectorHarness:
         sel_boxes, sel_scores, sel_ldm, sel_valid = jax.vmap(per_frame)(
             top_boxes, top_scores, top_ldm)
         sel_valid = sel_valid & (sel_scores > self.score_threshold)
-
-        # clamp boxes to the display frame
-        lim = jnp.asarray([w, h, w, h], jnp.float32)
-        sel_boxes = jnp.clip(sel_boxes, 0.0, lim)
         return Detections(sel_boxes, sel_scores, sel_ldm, sel_valid)

@@ -421,7 +421,9 @@ def build_detector(cfg: ExtractConfig, d_h: int, d_w: int,
     from facerec_tpu.models.detector import fit_input_size
 
     harness_kwargs = dict(
-        input_size=(cfg.detector_size or fit_input_size(d_h, d_w)),
+        input_size=(cfg.detector_size
+                    or fit_input_size(d_h, d_w,
+                                      long_side=cfg.detector_long_side)),
         max_detections=cfg.max_detections,
         score_threshold=cfg.face_threshold,
         min_face_size=cfg.min_face_size)
@@ -689,6 +691,12 @@ def main(argv=None):
                              "simultaneously on an N-device mesh "
                              "(0/1 = single device); outputs are "
                              "byte-identical --n-shards N shard files")
+    parser.add_argument("--detector-long-side", type=int,
+                        default=ExtractConfig.detector_long_side,
+                        help="AR-fitted detector input long side; "
+                             "512 trades ~7%% recall on 28-44px faces "
+                             "for 2.25x less detector compute vs "
+                             "native (see config.py)")
     parser.add_argument("--facenet-weights", type=str, default=None,
                         help="directory with the four FaceNet "
                              "checkpoints (<name>.pt / <name>.h5 / "
@@ -710,7 +718,8 @@ def main(argv=None):
         face_threshold=args.face_threshold,
         save_images=not args.no_images,
         block_frames=args.block_frames,
-        decode_workers=args.decode_workers)
+        decode_workers=args.decode_workers,
+        detector_long_side=args.detector_long_side)
     if args.mesh > 1:
         from facerec_tpu.parallel.extract_mesh import run_extract_mesh
 

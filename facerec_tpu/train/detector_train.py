@@ -34,11 +34,19 @@ def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
                    gt_valid: jnp.ndarray,
                    gt_landmarks: Optional[jnp.ndarray] = None,
                    pos_iou: float = 0.5,
-                   neg_iou: float = 0.3) -> AnchorTargets:
+                   neg_iou: float = 0.3,
+                   content_hw: Optional[jnp.ndarray] = None
+                   ) -> AnchorTargets:
     """Assign padded ground-truth boxes to anchors.
 
     Anchors with best-gt IoU ≥ pos_iou are positive, < neg_iou negative,
     in between ignored; each valid gt also force-claims its best anchor.
+
+    ``content_hw`` ((2,) = (h, w)) marks the letterboxed content area:
+    anchors centered in the zero padding outside it are forced NEGATIVE
+    instead of falling into the pos/ignore bands — without this the
+    0.3-0.5 ignore band leaves boundary-adjacent padding anchors
+    untrained and free to drift confident at deploy time.
     """
     a_cx, a_cy, a_w, a_h = [anchors[:, i] for i in range(4)]
     anchors_xyxy = jnp.stack([a_cx - a_w / 2, a_cy - a_h / 2,
@@ -57,6 +65,9 @@ def anchor_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
     labels = jnp.where(best_iou >= pos_iou, 1, -1)
     labels = jnp.where(best_iou < neg_iou, 0, labels)
     labels = jnp.where(forced, 1, labels)
+    if content_hw is not None:
+        inside = (a_cy < content_hw[0]) & (a_cx < content_hw[1])
+        labels = jnp.where(inside, labels, 0)
 
     g = gt_boxes[best_gt]                              # (A, 4)
     g_w = g[:, 2] - g[:, 0]
@@ -145,26 +156,27 @@ class DetectorTrainer:
         self.anchors = jnp.asarray(anchor_centers(self.input_size))
 
         def loss_fn(params, batch_stats, images, gt_boxes, gt_valid,
-                    gt_landmarks):
+                    gt_landmarks, content_hw):
             x = (images.astype(jnp.float32) - 127.5) / 128.0
             raw, mutated = self.model.apply(
                 {"params": params, "batch_stats": batch_stats}, x,
                 train=True, mutable=["batch_stats"])
             targets = jax.vmap(
-                lambda b, v, l: anchor_targets(
+                lambda b, v, l, c: anchor_targets(
                     self.anchors, b, v,
-                    l if self.use_landmarks else None)
-            )(gt_boxes, gt_valid, gt_landmarks)
+                    l if self.use_landmarks else None,
+                    content_hw=c)
+            )(gt_boxes, gt_valid, gt_landmarks, content_hw)
             loss, _ = detector_loss(raw, targets)
             return loss, mutated["batch_stats"]
 
         def step(variables, opt_state, images, gt_boxes, gt_valid,
-                 gt_landmarks):
+                 gt_landmarks, content_hw):
             params = variables["params"]
             (loss, new_stats), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, variables["batch_stats"],
                                        images, gt_boxes, gt_valid,
-                                       gt_landmarks)
+                                       gt_landmarks, content_hw)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return ({"params": params, "batch_stats": new_stats},
@@ -177,7 +189,7 @@ class DetectorTrainer:
                 step,
                 in_shardings=(replicated, replicated, batch_sharding,
                               batch_sharding, batch_sharding,
-                              batch_sharding),
+                              batch_sharding, batch_sharding),
                 out_shardings=(replicated, replicated, replicated))
         else:
             self._step = jax.jit(step)
@@ -193,6 +205,12 @@ class DetectorTrainer:
         return variables, self.tx.init(variables["params"])
 
     def step(self, variables, opt_state, images, gt_boxes, gt_valid,
-             gt_landmarks):
+             gt_landmarks, content_hw=None):
+        """``content_hw``: per-sample (B, 2) letterboxed content (h, w)
+        in input pixels; None = the whole input is content."""
+        if content_hw is None:
+            b = images.shape[0]
+            content_hw = jnp.broadcast_to(
+                jnp.asarray(self.input_size, jnp.float32), (b, 2))
         return self._step(variables, opt_state, images, gt_boxes,
-                          gt_valid, gt_landmarks)
+                          gt_valid, gt_landmarks, content_hw)

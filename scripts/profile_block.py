@@ -136,6 +136,8 @@ def classify(nm):
 
 sub_us = {}
 for nm, us in agg.items():
+    if nm.startswith("jit_"):
+        continue   # module-level event: wraps every op, double-counts
     sub_us[classify(nm)] = sub_us.get(classify(nm), 0) + us
 total_us = sum(sub_us.values()) or 1
 # the trace covers 2 block steps

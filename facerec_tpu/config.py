@@ -79,6 +79,16 @@ class ExtractConfig:
     # FACEREC_DECODE_WORKERS or sequential.
     decode_workers: int = 0
 
+    # Device→host fetches are batched: the packed per-block payloads
+    # and the deferred per-block embedding buffers of N consecutive
+    # blocks concatenate on device and come back as ONE transfer.  On
+    # latency-bound links (the reference harness tunnel pays a full
+    # RPC round trip per fetched buffer) this divides the transfer
+    # count — and with it the end-to-end floor — by N.  Flush
+    # *semantics* stay per-block (identical ready sets, record order,
+    # and bytes at any setting); only the fetch schedule changes.
+    fetch_every_blocks: int = 4
+
     # Fault tolerance (SURVEY.md §5.3-5.4): block-granular in-stage
     # checkpoints + idempotent shard completion markers
     checkpoint_every_blocks: int = 0  # 0 = no in-stage checkpoints

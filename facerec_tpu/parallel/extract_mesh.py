@@ -138,7 +138,10 @@ def run_extract_mesh(
     span_len = (info.n_frames + n - 1) // n
     spans = []
     for i in range(n):
-        beg = span_len * i
+        # clamp: with n_frames < span_len·(n-1) (short film / many
+        # devices) later spans are empty — beg must not exceed
+        # n_frames or inverted shard files would be written
+        beg = min(span_len * i, info.n_frames)
         end = min(beg + span_len, info.n_frames)
         stop = min(end + cfg.max_trajectory_age, info.n_frames)
         spans.append((beg, end, stop))
@@ -164,14 +167,19 @@ def run_extract_mesh(
 
     jpeg_writer = make_jpeg_writer(cfg)
     span_cfg = dataclasses.replace(cfg, n_shards=n)
+    # empty spans get no consumer/reader — they only feed padded
+    # blocks to keep the mesh program's shapes
     consumers = [ShardConsumer(dirs, movie_id, span_cfg, beg, end, d_w,
                                d_h, embedders, jpeg_writer)
+                 if beg < end else None
                  for beg, end, _ in spans]
 
     readers = [open_block_reader(file, info, cfg.block_frames,
                                  decode_workers=cfg.decode_workers)
-               for _ in range(n)]
-    iters = [r.blocks(beg, stop, cfg.block_frames)
+               if beg < end else None
+               for beg, end, _ in spans]
+    iters = [r.blocks(beg, stop, cfg.block_frames) if r is not None
+             else iter(())
              for r, (beg, _, stop) in zip(readers, spans)]
 
     step = build_mesh_step(mesh, detector, tracker_cfg)
@@ -220,9 +228,10 @@ def run_extract_mesh(
                 int(frame0s[i]), blocks[i][:real], flags_np[i][:real],
                 emit_i, det_valid[i][:real], landmarks[i][:real])
 
-    counters = [c.finish() for c in consumers]
+    counters = [c.finish() for c in consumers if c is not None]
     for r in readers:
-        r.close()
+        if r is not None:
+            r.close()
     if jpeg_writer is not None:
         jpeg_writer.close()
 

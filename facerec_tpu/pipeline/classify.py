@@ -71,6 +71,9 @@ def build_training_set(embeddings: List[Tuple[int, List[float]]],
 def run_classify(data_dir: str, x: np.ndarray, y: np.ndarray,
                  cfg: ClassifyConfig) -> None:
     """Per-cluster actor predictions (classify_knn.py:186-258)."""
+    from facerec_tpu.runtime.metrics import StageReport
+
+    report = StageReport("classify")
     movie_id = int(os.path.basename(data_dir).split("-")[0])
     predictions_path = os.path.join(data_dir, "predictions.json")
 
@@ -80,9 +83,20 @@ def run_classify(data_dir: str, x: np.ndarray, y: np.ndarray,
 
     if len(np.unique(y)) < 3 or len(x) == 0:
         records.write_empty_predictions(predictions_path, uniq_clusters)
+        report.set("n_classes", int(len(np.unique(y))))
+        report.set("n_predictions", 0)
+        report.write(data_dir)
         print(f"Not enough actor data. Wrote empty predictions: "
               f"{predictions_path}")
         return
+    if cfg.k > len(x):
+        # fail before the (already computed) extract/merge/cluster
+        # results are consumed, with an actionable message — sklearn
+        # parity would otherwise raise a generic error mid-stage
+        raise ValueError(
+            f"KNN needs k={cfg.k} training samples but the actor "
+            f"training set has only {len(x)}; lower --n-faces/k or "
+            f"raise min_samples when building the training set")
 
     vector_map = records.load_feature_map(
         os.path.join(data_dir, "features.jsonl"))
@@ -117,6 +131,14 @@ def run_classify(data_dir: str, x: np.ndarray, y: np.ndarray,
         }
 
     records.write_predictions(predictions_path, movie_id, cluster_preds)
+    # counters-as-JSON per stage (SURVEY.md §5.5)
+    report.set("n_classes", int(n_classes))
+    report.set("n_train", int(len(x)))
+    report.set("n_queries", int(len(queries)))
+    report.set("n_clusters", int(len(uniq_clusters)))
+    report.set("n_predictions",
+               int(sum(len(v) for v in cluster_preds.values())))
+    report.write(data_dir)
     print(f"Wrote predictions: {predictions_path}")
 
 

@@ -104,12 +104,20 @@ def read_trajectory_embeddings(data_dir: str,
 
 
 def run_cluster(data_dir: str, cfg: ClusterConfig) -> np.ndarray:
+    from facerec_tpu.runtime.metrics import StageReport
+
+    report = StageReport("cluster")
     movie_id = int(os.path.basename(data_dir).split("-")[0])
     _, embeddings = read_trajectory_embeddings(data_dir, cfg.emb_name)
     clusters = cluster_trajectories(embeddings, cfg.size, cfg.min_size,
                                     cfg.max_size)
     records.write_clusters(os.path.join(data_dir, "clusters.json"),
                            clusters, movie_id)
+    # counters-as-JSON per stage (SURVEY.md §5.5; cf. cluster.py:154)
+    report.set("n_trajectories", int(len(clusters)))
+    report.set("n_clusters", int(len(np.unique(clusters)))
+               if len(clusters) else 0)
+    report.write(data_dir)
     return clusters
 
 

@@ -35,12 +35,32 @@ import numpy as np
 
 from facerec_tpu.config import FACENET_DIMS, FACENET_MODELS, FACE_IMAGE_SIZE, ExtractConfig
 from facerec_tpu.contract import MovieDirs, records
-from facerec_tpu.contract.naming import movie_id_from_filename, shard_file_name
+from facerec_tpu.contract.naming import (box_tag, movie_id_from_filename,
+                                         shard_file_name)
 from facerec_tpu.ops.boxes import round_clip_box
 from facerec_tpu.pipeline import faces as faces_mod
 from facerec_tpu.track import TrackerConfig, TrajectoryAssembler, init_tracker, run_block
 from facerec_tpu.video.reader import (load_aspect_ratio_csv,
                                       open_block_reader, probe_video)
+
+
+@dataclasses.dataclass
+class PendingEmbed:
+    """A dispatched (not yet fetched) crop+embed batch for one flush.
+
+    ``dev_packed`` is the uint8 device buffer from
+    :meth:`EmbedderBank.dispatch_packed`; the driver concatenates it
+    into the next group fetch and calls
+    :meth:`ShardConsumer.complete_flush` with the fetched bytes.  Host
+    embedder banks (test stubs) fill ``host_embeddings`` instead and
+    complete immediately.
+    """
+
+    ready: List["faces_mod.PendingFace"]
+    tight_boxes: List[np.ndarray]
+    dev_packed: Optional[object] = None
+    nbytes: int = 0
+    host_embeddings: Optional[Dict[str, np.ndarray]] = None
 
 
 @dataclasses.dataclass
@@ -135,11 +155,31 @@ class EmbedderBank:
     with 4× the effective conv batch.
     """
 
+    # Real banks support deferred fetches (dispatch_packed/split);
+    # host-side test stubs override __call__ only.
+    supports_deferred = False
+
     def __init__(self, embedders: Dict[str, "object"]):
+        import jax
+        import jax.numpy as jnp
+
         from facerec_tpu.models.facenet import PooledStackedEmbedders
+        from facerec_tpu.runtime.transfer import pack_tree
 
         self.embedders = embedders
         self.pooled = PooledStackedEmbedders(list(embedders.values()))
+        self.dims = [int(e.embedding_dim) for e in embedders.values()]
+        self.total_dim = sum(self.dims)
+        self.supports_deferred = True
+
+        def packed_embed(backbone, bottlenecks, crops):
+            outs = self.pooled._embed(backbone, bottlenecks, crops)
+            # f32 is exact for every float compute dtype we run (bf16
+            # upcasts losslessly), and fixes the host view dtype
+            return pack_tree(
+                jnp.concatenate(outs, axis=-1).astype(jnp.float32))
+
+        self._packed_embed = jax.jit(packed_embed)
 
     @classmethod
     def create_default(cls, dtype=None) -> "EmbedderBank":
@@ -162,17 +202,26 @@ class EmbedderBank:
 
         return cls(load_facenet_embedders(weights_dir, dtype=dtype))
 
-    def __call__(self, crops) -> Dict[str, np.ndarray]:
-        import jax.numpy as jnp
+    def dispatch_packed(self, crops):
+        """Enqueue all-checkpoint embedding of a crop batch; returns
+        the (N·total_dim·4,) uint8 device buffer WITHOUT fetching.  The
+        caller fetches it (alone or concatenated into a group fetch)
+        and restores values with :meth:`unpack`."""
+        return self._packed_embed(self.pooled.backbone_stack,
+                                  self.pooled.bottlenecks, crops)
 
+    def unpack(self, buf: np.ndarray, n: int) -> Dict[str, np.ndarray]:
+        """Fetched uint8 buffer → {checkpoint: (n, dim) float32}."""
+        flat = np.asarray(buf).view(np.float32).reshape(-1, self.total_dim)
+        split = np.split(flat[:n], np.cumsum(self.dims)[:-1], axis=-1)
+        return dict(zip(self.pooled.names, split))
+
+    def __call__(self, crops) -> Dict[str, np.ndarray]:
         # concatenate on device → ONE device→host transfer for all
         # four checkpoints (per-buffer fetch overhead dominates small
         # transfers; see runtime/transfer.py)
-        outs = self.pooled(crops)
-        dims = [int(o.shape[-1]) for o in outs]
-        flat = np.asarray(jnp.concatenate(outs, axis=-1))
-        split = np.split(flat, np.cumsum(dims)[:-1], axis=-1)
-        return dict(zip(self.pooled.names, split))
+        return self.unpack(np.asarray(self.dispatch_packed(crops)),
+                           int(crops.shape[0]))
 
 
 class ShardConsumer:
@@ -231,8 +280,6 @@ class ShardConsumer:
             self.pixel_window = resume_state["pixel_window"]
             self.counters = resume_state["counters"]
             self.scene_changes = resume_state["scene_changes"]
-        self._last_block_start = (max(self.pixel_window)
-                                  if self.pixel_window else None)
         # Device-resident mirror of the pixel window: the block step
         # already uploaded the frames, so crops read them from HBM
         # instead of re-uploading the whole window per flush (not
@@ -242,11 +289,14 @@ class ShardConsumer:
 
     def feed_block(self, frame0: int, frames: np.ndarray,
                    flags: np.ndarray, emit_host, det_valid: np.ndarray,
-                   landmarks: np.ndarray, dev_frames=None) -> None:
+                   landmarks: np.ndarray, dev_frames=None,
+                   flush: bool = True) -> None:
         """Consume one block's device outputs (already truncated to the
         block's real frame count).  ``dev_frames`` optionally passes the
         block's device-resident pixels (same real-row contents) so the
-        crop dispatch avoids a host→device re-upload."""
+        crop dispatch avoids a host→device re-upload.  With
+        ``flush=False`` the caller runs :meth:`begin_flush` itself (to
+        defer the embedding fetch into a batched group transfer)."""
         cfg = self.cfg
         det_slot, slot_uid, slot_box = (emit_host.det_slot,
                                         emit_host.uid, emit_host.box)
@@ -268,23 +318,34 @@ class ShardConsumer:
                     posterior_box=slot_box[i, s].copy(),
                     landmarks=landmarks[i, d]))
 
-        # keep a two-block pixel window for deferred crops
+        # pixel window for deferred crops (trimmed after each flush)
         self.pixel_window[frame0] = frames
         if dev_frames is not None:
             self.dev_window[frame0] = dev_frames
-        self.flush_faces(frame0 + len(frames) - 1
-                         - (cfg.min_trajectory - 1))
-        if self._last_block_start is not None:
-            for b in list(self.pixel_window):
-                if b < self._last_block_start:
-                    del self.pixel_window[b]
-                    self.dev_window.pop(b, None)
-        self._last_block_start = frame0
+        if flush:
+            self.flush_faces(self.block_watermark(frame0, len(frames)))
         self.counters.frames_processed += len(frames)
+
+    def block_watermark(self, frame0: int, n_frames: int) -> int:
+        """Faces at frames ≤ this are flushed after the block — the
+        deferred-validity horizon (min_trajectory - 1 frames, mirroring
+        the reference's frame buffer, extract.py:304-342)."""
+        return frame0 + n_frames - 1 - (self.cfg.min_trajectory - 1)
 
     def flush_faces(self, watermark: Optional[int]) -> None:
         """Emit features/images for pending faces with frame ≤ watermark
-        (None = all), in frame order."""
+        (None = all), in frame order — synchronous (begin + fetch +
+        complete in one call)."""
+        pe = self.begin_flush(watermark)
+        if pe is not None:
+            self.complete_flush(pe)
+
+    def begin_flush(self, watermark: Optional[int]) -> Optional[PendingEmbed]:
+        """Select ready faces, dispatch their batched crop+embed on
+        device, and write their JPEG images — WITHOUT fetching the
+        embeddings.  Returns a :class:`PendingEmbed` the caller later
+        passes to :meth:`complete_flush` (with the fetched bytes, or
+        alone for a standalone fetch); None when nothing is ready."""
         import jax.numpy as jnp
 
         from facerec_tpu.ops.crops import crop_resize_dispatch as crop_resize
@@ -303,18 +364,18 @@ class ShardConsumer:
                  if p.frame % cfg.save_every == 0
                  and self.assembler.track_valid(p.uid)]
         if not ready:
-            return
+            self._trim_window()
+            return None
 
         # Device: batched crop + embed for every ready face.  Crops
-        # read the device-resident window when the whole window is
-        # mirrored there (no re-upload); the host copy feeds JPEGs.
+        # read the device-resident window blocks when mirrored there
+        # (no re-upload); the host copies feed JPEGs.
         block_starts = sorted(self.pixel_window)
-        stack = np.concatenate([self.pixel_window[b] for b in block_starts])
-        if all(b in self.dev_window for b in block_starts):
-            dev_stack = jnp.concatenate(
-                [self.dev_window[b] for b in block_starts])
-        else:
-            dev_stack = jnp.asarray(stack)
+        dev_stack = [self.dev_window[b] if b in self.dev_window
+                     else jnp.asarray(self.pixel_window[b])
+                     for b in block_starts]
+        dev_stack = (dev_stack[0] if len(dev_stack) == 1
+                     else jnp.concatenate(dev_stack))
         offsets = {}
         off = 0
         for b in block_starts:
@@ -347,25 +408,73 @@ class ShardConsumer:
                  np.full(bucket - n_real, frame_idx[-1], np.int32)])
         crops = crop_resize(dev_stack, jnp.asarray(frame_idx),
                             jnp.asarray(crop_boxes), FACE_IMAGE_SIZE)
-        all_embeddings = {name: vecs[:n_real]
-                          for name, vecs in self.embedders(crops).items()}
+
+        if cfg.save_images:
+            for i, p in enumerate(ready):
+                faces_mod.save_face_image(
+                    self.pixel_window[self._block_of(p.frame)]
+                    [p.frame - self._block_of(p.frame)],
+                    p.posterior_box, d_w, d_h, self.dirs.images,
+                    box_tag(self.movie_id, p.frame, tight_boxes[i]),
+                    jpeg_writer=self.jpeg_writer)
+
+        if getattr(self.embedders, "supports_deferred", False):
+            buf = self.embedders.dispatch_packed(crops)
+            pe = PendingEmbed(ready, tight_boxes, dev_packed=buf,
+                              nbytes=int(buf.shape[0]))
+        else:
+            all_emb = {name: vecs[:n_real]
+                       for name, vecs in self.embedders(crops).items()}
+            pe = PendingEmbed(ready, tight_boxes, host_embeddings=all_emb)
+        self._trim_window()
+        return pe
+
+    def complete_flush(self, pe: PendingEmbed,
+                       buf: Optional[np.ndarray] = None) -> None:
+        """Write the feature records of a dispatched flush.  ``buf`` is
+        the fetched uint8 embedding bytes (a slice of a group fetch);
+        None fetches ``pe.dev_packed`` standalone."""
+        if pe.host_embeddings is not None:
+            all_embeddings = pe.host_embeddings
+        else:
+            if buf is None:
+                buf = np.asarray(pe.dev_packed)
+            all_embeddings = self.embedders.unpack(buf, len(pe.ready))
 
         frames_seen = set()
-        for i, p in enumerate(ready):
+        for i, p in enumerate(pe.ready):
             emb = {name: vecs[i].tolist()
                    for name, vecs in all_embeddings.items()}
             rec = faces_mod.feature_record_for(
-                self.movie_id, p.frame, tight_boxes[i], emb, p.landmarks,
-                d_w, d_h)
+                self.movie_id, p.frame, pe.tight_boxes[i], emb,
+                p.landmarks, self.d_w, self.d_h)
             records.write_feature(self.features_file, rec)
-            if cfg.save_images:
-                faces_mod.save_face_image(
-                    stack[stack_index(p.frame)], p.posterior_box, d_w,
-                    d_h, self.dirs.images, rec["tag"],
-                    jpeg_writer=self.jpeg_writer)
             self.counters.saved_boxes += 1
             frames_seen.add(p.frame)
         self.counters.saved_frames += len(frames_seen)
+
+    def _block_of(self, frame: int) -> int:
+        for b in sorted(self.pixel_window, reverse=True):
+            if frame >= b:
+                return b
+        raise KeyError(f"frame {frame} left the pixel window")
+
+    def _trim_window(self) -> None:
+        """Drop pixel-window blocks no pending face can reference any
+        more (always keeping the newest block — the next block's flush
+        may crop from it)."""
+        if not self.pixel_window:
+            return
+        last = max(self.pixel_window)
+        min_keep = min((p.frame for p in self.pending), default=last)
+        for b in sorted(self.pixel_window):
+            if b >= last:
+                break
+            if b + len(self.pixel_window[b]) <= min_keep:
+                del self.pixel_window[b]
+                self.dev_window.pop(b, None)
+            else:
+                break
 
     def finish(self) -> ExtractCounters:
         """Final trajectories + faces, scene-change file, close files,
@@ -537,7 +646,6 @@ def run_extract(
             or hasattr(detector, "forward_indexed")):
         fused = FusedBlockStep(detector, tracker_cfg)
 
-    blocks_done = 0
     # per-phase wall time: where an underperforming e2e run spends it
     phase = {"decode": 0.0, "dispatch": 0.0, "fetch": 0.0,
              "consume": 0.0}
@@ -584,16 +692,17 @@ def run_extract(
             packed = pack_jit(payload)
             unpack = lambda buf: unpack_tree(buf, *host_spec)
         return {"frame0": frame0, "frames": frames, "real": real,
-                "packed": packed, "dev": dev_frames, "unpack": unpack}
+                "packed": packed, "dev": dev_frames, "unpack": unpack,
+                # post-block device state, for checkpoints: dispatch
+                # runs a group ahead of consumption, so the carried
+                # nonlocals are ahead of the files written so far
+                "scene_state": scene_state,
+                "tracker_state": tracker_state}
 
-    def consume_block(blk):
-        """Fetch the block's packed payload (waits) and feed it to the
-        shard consumer."""
-        nonlocal blocks_done
-        t0 = time.perf_counter()
-        buf = np.asarray(blk["packed"])
-        phase["fetch"] += time.perf_counter() - t0
-        t0 = time.perf_counter()
+    def consume_block(blk, buf):
+        """Feed one block's fetched payload bytes to the shard consumer
+        and dispatch its (deferred) face flush."""
+        nonlocal blocks_done, consumed_through, consumed_state
         flags_np, emit_host, det_valid, landmarks = blk["unpack"](buf)
         real, frames, dev = blk["real"], blk["frames"], blk["dev"]
         if real < cfg.block_frames:
@@ -603,44 +712,117 @@ def run_extract(
             emit_host = type(emit_host)(*(f[:real] for f in emit_host))
             dev = dev[:real]
         consumer.feed_block(blk["frame0"], frames, flags_np, emit_host,
-                            det_valid, landmarks, dev_frames=dev)
-        phase["consume"] += time.perf_counter() - t0
+                            det_valid, landmarks, dev_frames=dev,
+                            flush=False)
+        pe = consumer.begin_flush(
+            consumer.block_watermark(blk["frame0"], real))
+        if pe is not None:
+            if pe.host_embeddings is not None:
+                consumer.complete_flush(pe)
+            else:
+                deferred.append(pe)
         blocks_done += 1
+        consumed_through = blk["frame0"] + real
+        consumed_state = (blk["scene_state"], blk["tracker_state"])
 
-    # Software pipeline, depth 1: block k+1 is decoded + dispatched
-    # before block k's payload is fetched, so the device computes and
-    # the device→host transfer overlap the host work instead of
-    # serializing with it.
-    pending = None
+    # Batched-fetch software pipeline: blocks are decoded + dispatched
+    # continuously; every `group` blocks the accumulated per-block
+    # payloads AND the previous blocks' deferred embedding buffers
+    # concatenate on device into ONE device→host transfer
+    # (cfg.fetch_every_blocks).  The transfer of group g is started
+    # asynchronously and collected only when group g+1 is full, so it
+    # overlaps the next group's decode, upload, and device compute.
+    # Flush semantics stay per-block — files are byte-identical to the
+    # unbatched loop at any group size.
+    group = max(1, cfg.fetch_every_blocks)
+    if cfg.checkpoint_every_blocks > 0:
+        # checkpoints need a drained pipeline; bound their lag
+        group = min(group, cfg.checkpoint_every_blocks)
+
+    staged: List[dict] = []      # dispatched blocks awaiting fetch
+    deferred: List = []          # PendingEmbeds awaiting fetch
+    inflight = None              # {"joined", "deferred", "blocks"}
+    blocks_done = 0
+    consumed_through = start_frame
+    consumed_state = (scene_state, tracker_state)
+
+    def start_fetch():
+        """Concatenate the staged payloads + deferred embed buffers on
+        device and start their (single) async device→host copy."""
+        nonlocal inflight, staged, deferred
+        bufs = [pe.dev_packed for pe in deferred]
+        bufs.extend(blk["packed"] for blk in staged)
+        if not bufs:
+            return
+        joined = bufs[0] if len(bufs) == 1 else jnp.concatenate(bufs)
+        try:
+            joined.copy_to_host_async()
+        except AttributeError:
+            pass
+        inflight = {"joined": joined, "deferred": deferred,
+                    "blocks": staged}
+        staged, deferred = [], []
+
+    def collect_fetch():
+        """Wait for the in-flight group transfer, write the previous
+        blocks' features, consume the new blocks' payloads."""
+        nonlocal inflight
+        t0 = time.perf_counter()
+        buf = np.asarray(inflight["joined"])
+        phase["fetch"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        off = 0
+        for pe in inflight["deferred"]:
+            consumer.complete_flush(pe, buf[off:off + pe.nbytes])
+            off += pe.nbytes
+        for blk in inflight["blocks"]:
+            n = int(blk["packed"].shape[0])
+            consume_block(blk, buf[off:off + n])
+            off += n
+        assert off == buf.size, (off, buf.size)
+        inflight = None
+        phase["consume"] += time.perf_counter() - t0
+
+    def maybe_checkpoint():
+        nonlocal last_ckpt_blocks, deferred
+        if (cfg.checkpoint_every_blocks <= 0
+                or blocks_done - last_ckpt_blocks
+                < cfg.checkpoint_every_blocks):
+            return
+        # the checkpointed state must match the files written so far:
+        # complete every dispatched flush before snapshotting
+        for pe in deferred:
+            consumer.complete_flush(pe)
+        deferred = []
+        ckpt.save_checkpoint(
+            ckpt_path, next_frame=consumed_through,
+            scene_state=consumed_state[0],
+            tracker_state=consumed_state[1],
+            **consumer.snapshot())
+        last_ckpt_blocks = blocks_done
+
+    last_ckpt_blocks = 0
     while True:
         t0 = time.perf_counter()
         nxt = next(block_iter, None)
         phase["decode"] += time.perf_counter() - t0
-        cur = None
-        if nxt is not None:
-            t0 = time.perf_counter()
-            cur = dispatch_block(nxt)
-            phase["dispatch"] += time.perf_counter() - t0
-        if pending is not None:
-            consume_block(pending)
-            if (cfg.checkpoint_every_blocks > 0
-                    and blocks_done % cfg.checkpoint_every_blocks == 0):
-                # Drain the pipeline first: the checkpointed device
-                # state must match the files written so far.
-                if cur is not None:
-                    consume_block(cur)
-                    next_frame = cur["frame0"] + cur["real"]
-                    cur = None
-                else:
-                    next_frame = pending["frame0"] + pending["real"]
-                ckpt.save_checkpoint(
-                    ckpt_path, next_frame=next_frame,
-                    scene_state=scene_state,
-                    tracker_state=tracker_state,
-                    **consumer.snapshot())
-        pending = cur
-        if nxt is None and pending is None:
+        if nxt is None:
             break
+        t0 = time.perf_counter()
+        staged.append(dispatch_block(nxt))
+        phase["dispatch"] += time.perf_counter() - t0
+        if len(staged) >= group:
+            if inflight is not None:
+                collect_fetch()
+                maybe_checkpoint()
+            start_fetch()
+    # drain: collect the in-flight group, then fetch the remainder
+    # (tail blocks and/or the last blocks' deferred flushes)
+    while inflight is not None or staged or deferred:
+        if inflight is not None:
+            collect_fetch()
+            maybe_checkpoint()
+        start_fetch()
 
     counters = consumer.finish()
     reader.close()
@@ -686,6 +868,12 @@ def main(argv=None):
     parser.add_argument("--decode-workers", type=int, default=0,
                         help="parallel native decode workers "
                              "(0 = FACEREC_DECODE_WORKERS or sequential)")
+    parser.add_argument("--fetch-every-blocks", type=int,
+                        default=ExtractConfig.fetch_every_blocks,
+                        help="batch the device→host payload fetch of N "
+                             "blocks into one transfer (bytes are "
+                             "identical at any setting; raise on "
+                             "high-latency links)")
     parser.add_argument("--mesh", type=int, default=0,
                         help="process N temporal shard spans "
                              "simultaneously on an N-device mesh "
@@ -719,6 +907,7 @@ def main(argv=None):
         save_images=not args.no_images,
         block_frames=args.block_frames,
         decode_workers=args.decode_workers,
+        fetch_every_blocks=args.fetch_every_blocks,
         detector_long_side=args.detector_long_side)
     if args.mesh > 1:
         from facerec_tpu.parallel.extract_mesh import run_extract_mesh

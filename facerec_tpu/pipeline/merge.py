@@ -109,6 +109,9 @@ def _shard_files(directory: str, kind: str) -> List[dict]:
 
 def run_merge(data_dir: str, movie_id: int, cfg: MergeConfig) -> dict:
     """Merge all shards of a movie dir; returns counters."""
+    from facerec_tpu.runtime.metrics import StageReport
+
+    report = StageReport("merge")
     trajectories_dir = os.path.join(data_dir, "trajectories")
     scene_changes_dir = os.path.join(data_dir, "scene_changes")
     features_dir = os.path.join(data_dir, "features")
@@ -207,6 +210,13 @@ def run_merge(data_dir: str, movie_id: int, cfg: MergeConfig) -> dict:
 
     counters = {"merges": n_merges, "read": n_read,
                 "saved": writer.n_saved, "removed": writer.n_removed}
+    # counters-as-JSON per stage (SURVEY.md §5.5; the reference only
+    # prints them, merge_shards.py:274-276)
+    for name, value in counters.items():
+        report.set(name, value)
+    report.set("scene_cuts", len(scene_cuts))
+    report.set("shards", len(traj_files))
+    report.write(data_dir)
     print(f"Total merges: {counters['merges']}.")
     print(f"Total removed if they had no images or had too small faces: "
           f"{counters['removed']}.")

@@ -122,9 +122,17 @@ def build_stages(filmfile: str, out_path: str, cfg: PipelineConfig,
     return stages
 
 
-def run_pipeline(stages: List[Stage], verbose: bool = False) -> bool:
+def run_pipeline(stages: List[Stage], verbose: bool = False,
+                 data_dir: Optional[str] = None) -> bool:
     """Run stages in order; abort on first failure
-    (facerec-pipeline.py:244-261 semantics)."""
+    (facerec-pipeline.py:244-261 semantics).  With ``data_dir`` the
+    per-stage wall times land in the movie's ``run_report.json``
+    alongside each stage's own counters (SURVEY.md §5.5; the reference
+    only prints them, facerec-pipeline.py:250-260)."""
+    from facerec_tpu.runtime.metrics import StageReport
+
+    report = StageReport("pipeline") if data_dir is not None else None
+    ok = True
     for i, stage in enumerate(stages):
         if stage.skip:
             print(f"Skipping stage <{stage.name}>")
@@ -137,10 +145,19 @@ def run_pipeline(stages: List[Stage], verbose: bool = False) -> bool:
             print(f"Stage #{i} <{stage.name}> failed in "
                   f"{time.time() - start:.1f}s, aborting.")
             traceback.print_exc()
-            return False
+            ok = False
+        if report is not None:
+            report.set(f"{stage.name}_seconds",
+                       round(time.time() - start, 3))
+            if not ok:
+                report.set("failed_stage", stage.name)
+        if not ok:
+            break
         print(f"Stage #{i} <{stage.name}> succeeded in "
               f"{time.time() - start:.1f}s")
-    return True
+    if report is not None and os.path.isdir(data_dir):
+        report.write(data_dir)
+    return ok
 
 
 def main(argv=None) -> int:
@@ -175,7 +192,10 @@ def main(argv=None) -> int:
                           shard_procs=args.shard_procs,
                           detector_weights=args.detector_weights,
                           facenet_weights=args.facenet_weights)
-    ok = run_pipeline(stages, verbose=args.verbose)
+    movie_id = movie_id_from_filename(args.filmfile)
+    ok = run_pipeline(stages, verbose=args.verbose,
+                      data_dir=os.path.join(args.out_path,
+                                            f"{movie_id}-data"))
     return 0 if ok else 1
 
 

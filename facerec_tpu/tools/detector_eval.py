@@ -61,7 +61,10 @@ def evaluate_detections(
                 return k
         return len(SIZE_BUCKETS) - 1
 
-    for frame, gts in truth.items():
+    # union of frames: a prediction on a frame with no truth entry is
+    # a false positive and must count toward n_pred/precision
+    for frame in sorted(set(truth) | set(preds)):
+        gts = truth.get(frame, [])
         n_truth += len(gts)
         for g in gts:
             bucket_truth[bucket_of(g)] += 1

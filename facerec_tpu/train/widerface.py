@@ -82,7 +82,12 @@ class WiderFaceDataset:
 
     def load(self, idx: int):
         """→ (image (ih, iw, 3) uint8 RGB letterboxed, boxes (M, 4),
-        valid (M,)) with M = max_boxes padding."""
+        valid (M,), content_hw (2,) int32) with M = max_boxes padding.
+        ``content_hw`` is the letterboxed content size (sh, sw) — the
+        trainer ignores anchors centred on the zero padding instead of
+        leaving them in the 0.3-0.5 IoU ignore band (the
+        'confident padding anchors drift at deploy' failure documented
+        in docs/DESIGN.md)."""
         import cv2
 
         s = self.samples[idx]
@@ -110,22 +115,24 @@ class WiderFaceDataset:
         out_valid = np.zeros((m,), bool)
         out_boxes[:len(boxes)] = boxes
         out_valid[:len(boxes)] = True
-        return canvas, out_boxes, out_valid
+        return (canvas, out_boxes, out_valid,
+                np.array([sh, sw], np.int32))
 
     def batches(self, batch_size: int, rng: np.random.Generator
                 ) -> Iterator[tuple]:
         """Endless shuffled batches:
         (images (B,ih,iw,3) u8, boxes (B,M,4), valid (B,M),
-        landmarks zeros (B,M,5,2))."""
+        landmarks zeros (B,M,5,2), content_hw (B,2) i32)."""
         order = np.arange(len(self.samples))
         while True:
             rng.shuffle(order)
             for i in range(0, len(order) - batch_size + 1, batch_size):
                 idxs = order[i:i + batch_size]
-                ims, bxs, vds = zip(*(self.load(j) for j in idxs))
+                ims, bxs, vds, chw = zip(*(self.load(j) for j in idxs))
                 yield (np.stack(ims), np.stack(bxs), np.stack(vds),
                        np.zeros((batch_size, self.max_boxes, 5, 2),
-                                np.float32))
+                                np.float32),
+                       np.stack(chw))
 
 
 def train(images_root: str, ann_file: str, out: str, steps: int,
@@ -152,13 +159,14 @@ def train(images_root: str, ann_file: str, out: str, steps: int,
     variables, opt_state = trainer.init(seed)
     rng = np.random.default_rng(seed)
     losses = []
-    for step, (ims, bxs, vds, ldm) in enumerate(
+    for step, (ims, bxs, vds, ldm, chw) in enumerate(
             ds.batches(batch_size, rng)):
         if step >= steps:
             break
         variables, opt_state, loss = trainer.step(
             variables, opt_state, jnp.asarray(ims), jnp.asarray(bxs),
-            jnp.asarray(vds), jnp.asarray(ldm))
+            jnp.asarray(vds), jnp.asarray(ldm),
+            content_hw=jnp.asarray(chw))
         losses.append(float(loss))
         if step % log_every == 0:
             print(f"step {step}: loss {losses[-1]:.4f}", flush=True)

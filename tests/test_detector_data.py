@@ -52,7 +52,7 @@ def test_dataset_batches(wider_dir):
     ds = WiderFaceDataset(root, ann, input_size=(64, 64), max_boxes=8,
                           min_face=4)
     assert len(ds) == 4          # the empty image is dropped
-    img, boxes, valid = ds.load(0)
+    img, boxes, valid, content = ds.load(0)
     assert img.shape == (64, 64, 3)
     # image is 90x120 → scale 64/120; letterboxed at top-left
     scale = 64 / 120
@@ -60,12 +60,15 @@ def test_dataset_batches(wider_dir):
     np.testing.assert_allclose(boxes[0], np.array([10, 12, 40, 46])
                                * scale, atol=1e-5)
     assert (boxes[valid][:, 2] <= 64).all()
+    # letterboxed content area (anchors outside train as negatives)
+    np.testing.assert_array_equal(content, [round(90 * scale), 64])
 
     it = ds.batches(2, np.random.default_rng(0))
-    ims, bxs, vds, ldm = next(it)
+    ims, bxs, vds, ldm, chw = next(it)
     assert ims.shape == (2, 64, 64, 3)
     assert bxs.shape == (2, 8, 4) and vds.shape == (2, 8)
     assert ldm.shape == (2, 8, 5, 2) and (ldm == 0).all()
+    assert chw.shape == (2, 2) and (chw <= 64).all() and (chw > 0).all()
 
 
 def test_wider_train_step_runs(wider_dir, tmp_path):

@@ -34,6 +34,54 @@ class StubEmbedderBank(EmbedderBank):
         return out
 
 
+class DeferredStubBank(EmbedderBank):
+    """Deferred-fetch-capable stub: same pooled-pixel projection as
+    StubEmbedderBank but dispatched on device via dispatch_packed, so
+    the group-fetch pipeline (extract.fetch_every_blocks) is exercised
+    without the full FaceNet compile."""
+
+    supports_deferred = True
+
+    def __init__(self, names=("m1", "m2"), dim=16, seed=0):
+        import jax
+        import jax.numpy as jnp
+
+        from facerec_tpu.runtime.transfer import pack_tree
+
+        rng = np.random.default_rng(seed)
+        self.names_ = list(names)
+        self.dims = [dim] * len(names)
+        self.total_dim = dim * len(names)
+        proj = [jnp.asarray(rng.normal(size=(75, dim)), jnp.float32)
+                for _ in names]
+
+        def embed(crops):
+            x = crops.astype(jnp.float32)
+            pooled = x.reshape(-1, 5, 32, 5, 32, 3).mean(axis=(2, 4))
+            flat = pooled.reshape(x.shape[0], -1) / 255.0
+            outs = []
+            for p in proj:
+                e = flat @ p
+                e = e / jnp.maximum(
+                    jnp.linalg.norm(e, axis=1, keepdims=True), 1e-9)
+                outs.append(e)
+            return pack_tree(jnp.concatenate(outs, -1))
+
+        self._packed = jax.jit(embed)
+
+    def dispatch_packed(self, crops):
+        return self._packed(crops)
+
+    def unpack(self, buf, n):
+        flat = np.asarray(buf).view(np.float32).reshape(-1, self.total_dim)
+        parts = np.split(flat[:n], np.cumsum(self.dims)[:-1], axis=-1)
+        return dict(zip(self.names_, parts))
+
+    def __call__(self, crops):
+        return self.unpack(np.asarray(self.dispatch_packed(crops)),
+                           int(crops.shape[0]))
+
+
 @pytest.fixture(scope="module")
 def clip(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("clips") / "125261-TestFilm-1955.mp4")
@@ -182,6 +230,15 @@ def test_full_pipeline(clip, tmp_path):
     preds = json.load(open(os.path.join(d, "predictions.json")))
     assert preds["movie_id"] == 125261
 
+    # every stage reported its counters into ONE run_report.json
+    # (SURVEY.md §5.5)
+    report = json.load(open(os.path.join(d, "run_report.json")))
+    assert {"merge", "cluster", "classify"} <= set(report)
+    assert any(k.startswith("extract_") for k in report)
+    assert report["merge"]["counters"]["saved"] >= 1
+    assert report["cluster"]["counters"]["n_clusters"] >= 1
+    assert report["classify"]["counters"]["n_predictions"] >= 0
+
 
 def test_block_size_invariance(clip, tmp_path):
     """Padded-tail blocks (block larger than the remaining frames) must
@@ -201,6 +258,66 @@ def test_block_size_invariance(clip, tmp_path):
         for f in fa:
             assert filecmp.cmp(f"{da}/{sub}/{f}", f"{db}/{sub}/{f}",
                                shallow=False), (sub, f)
+
+
+def _compare_shard_files(da, db):
+    import filecmp
+
+    for sub in ("trajectories", "features", "scene_changes"):
+        fa = sorted(os.listdir(f"{da}/{sub}"))
+        fb = sorted(os.listdir(f"{db}/{sub}"))
+        assert fa == fb
+        for f in fa:
+            assert filecmp.cmp(f"{da}/{sub}/{f}", f"{db}/{sub}/{f}",
+                               shallow=False), (sub, f)
+
+
+def test_fetch_grouping_invariance(clip, tmp_path):
+    """Batched device→host group fetches (fetch_every_blocks) must not
+    change a single output byte — flush semantics are per-block at any
+    group size, including a group larger than the whole film."""
+    outs = {}
+    for g in (1, 3, 64):
+        out = str(tmp_path / f"g{g}")
+        cfg = ExtractConfig(block_frames=16, max_detections=8,
+                            max_tracks=16, save_images=False,
+                            fetch_every_blocks=g)
+        run_extract(clip.path, cfg, out,
+                    detector=ScriptedDetector(clip, max_detections=8),
+                    embedders=DeferredStubBank())
+        outs[g] = f"{out}/125261-data"
+    _compare_shard_files(outs[1], outs[3])
+    _compare_shard_files(outs[1], outs[64])
+
+
+def test_fetch_grouping_crash_resume(clip, tmp_path):
+    """Checkpoints drain the deferred embed pipeline: a crashed grouped
+    run resumes to byte-identical output."""
+    from tests.test_checkpoint import CrashingDetector
+
+    def cfg(ck):
+        return ExtractConfig(block_frames=8, max_detections=8,
+                             max_tracks=16, save_images=False,
+                             fetch_every_blocks=4,
+                             checkpoint_every_blocks=ck)
+
+    clean = str(tmp_path / "clean")
+    run_extract(clip.path, cfg(0), clean,
+                detector=ScriptedDetector(clip, max_detections=8),
+                embedders=DeferredStubBank())
+
+    crashed = str(tmp_path / "crashed")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_extract(clip.path, cfg(2), crashed,
+                    detector=CrashingDetector(clip, crash_at_frame=40,
+                                              max_detections=8),
+                    embedders=DeferredStubBank())
+    assert any(f.endswith(".ckpt")
+               for f in os.listdir(f"{crashed}/125261-data"))
+    run_extract(clip.path, cfg(2), crashed,
+                detector=ScriptedDetector(clip, max_detections=8),
+                embedders=DeferredStubBank())
+    _compare_shard_files(f"{clean}/125261-data", f"{crashed}/125261-data")
 
 
 def test_odd_geometry_film(tmp_path):

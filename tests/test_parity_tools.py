@@ -1,0 +1,176 @@
+"""Parity toolchain: embedding-parity meter + detector distillation."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from facerec_tpu.tools.embedding_eval import (evaluate_embedding_parity,
+                                              match_records)
+
+
+def _write_features(path, recs):
+    with open(path, "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+
+def _rec(frame, box, vecs):
+    return {"frame": frame, "box": box,
+            "embeddings": {k: list(map(float, v)) for k, v in vecs.items()}}
+
+
+@pytest.fixture
+def feature_pair(tmp_path, rng):
+    """A reference features file and a near-identical 'ours' file:
+    boxes jittered by 1px (IoU-matched, not byte-equal), vectors
+    perturbed by ~1e-3 cosine distance."""
+    dim = 8
+    base = {f: rng.normal(size=(2, dim)) for f in (0, 5, 10)}
+    ref, ours = [], []
+    for f, vv in base.items():
+        for k in range(2):
+            v = vv[k] / np.linalg.norm(vv[k])
+            box = [10 + 40 * k, 10, 40 + 40 * k, 50]
+            ref.append(_rec(f, box, {"m1": v, "m2": -v}))
+            v2 = v + rng.normal(size=dim) * 1e-3
+            box2 = [b + 1 for b in box]
+            ours.append(_rec(f, box2, {"m1": v2, "m2": -v2}))
+    rp, op = str(tmp_path / "ref.jsonl"), str(tmp_path / "ours.jsonl")
+    _write_features(rp, ref)
+    _write_features(op, ours)
+    return rp, op
+
+
+def test_embedding_parity_pass(feature_pair):
+    rp, op = feature_pair
+    rep = evaluate_embedding_parity(rp, op, max_p95=0.05)
+    assert rep["pass"] is True
+    assert rep["n_matched"] == 6 and rep["match_rate"] == 1.0
+    for name in ("m1", "m2"):
+        ck = rep["checkpoints"][name]
+        assert ck["n"] == 6
+        assert ck["p95_cos_dist"] < 1e-3
+        assert ck["pass"] is True
+
+
+def test_embedding_parity_fail_on_divergent_checkpoint(tmp_path, rng):
+    v = rng.normal(size=8)
+    v /= np.linalg.norm(v)
+    u = rng.normal(size=8)
+    u /= np.linalg.norm(u)
+    rp, op = str(tmp_path / "r.jsonl"), str(tmp_path / "o.jsonl")
+    _write_features(rp, [_rec(0, [0, 0, 10, 10], {"m1": v, "m2": v})])
+    # m1 matches, m2 is a different model entirely
+    _write_features(op, [_rec(0, [0, 0, 10, 10], {"m1": v, "m2": u})])
+    rep = evaluate_embedding_parity(rp, op, max_p95=0.05)
+    assert rep["checkpoints"]["m1"]["pass"] is True
+    assert rep["checkpoints"]["m2"]["pass"] is False
+    assert rep["pass"] is False
+
+
+def test_embedding_parity_match_rate_counts_misses(tmp_path, rng):
+    v = rng.normal(size=4)
+    rp, op = str(tmp_path / "r.jsonl"), str(tmp_path / "o.jsonl")
+    _write_features(rp, [_rec(0, [0, 0, 10, 10], {"m1": v}),
+                         _rec(1, [50, 50, 90, 90], {"m1": v})])
+    _write_features(op, [_rec(0, [1, 1, 11, 11], {"m1": v})])
+    rep = evaluate_embedding_parity(rp, op)
+    assert rep["n_matched"] == 1 and rep["match_rate"] == 0.5
+
+
+def test_match_records_is_one_to_one(rng):
+    v = [0.0]
+    ref = {0: [_rec(0, [0, 0, 10, 10], {"m": v}),
+               _rec(0, [1, 1, 11, 11], {"m": v})]}
+    ours = {0: [_rec(0, [0, 0, 10, 10], {"m": v})]}
+    pairs = match_records(ref, ours, iou_thr=0.3)
+    assert len(pairs) == 1     # a single candidate can't match twice
+
+
+def test_embedding_eval_cli(feature_pair, tmp_path, capsys):
+    from facerec_tpu.tools.embedding_eval import main
+
+    rp, op = feature_pair
+    out = str(tmp_path / "rep.json")
+    rc = main(["--ref", rp, "--ours", op, "--out", out])
+    assert rc == 0
+    assert json.load(open(out))["pass"] is True
+    rc = main(["--ref", rp, "--ours", op, "--max-p95", "1e-9"])
+    assert rc == 1
+
+
+# ---------------------------------------------------------------- distill
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    from facerec_tpu.video.synth import make_clip
+
+    path = str(tmp_path_factory.mktemp("dclips") / "42-Distill.mp4")
+    return make_clip(path, n_frames=24, cuts=(), seed=13)
+
+
+def truth_jsonl_from_clip(clip, path, every=2, with_keypoints=True):
+    """Reference-style detections JSONL from the synthetic clip's
+    ground truth (the schema of extract.py:186-195)."""
+    with open(path, "w") as f:
+        for frame in range(0, clip.n_frames, every):
+            for box, lm in clip.truth.get(frame, []):
+                rec = {"frame": frame,
+                       "box": [float(v) for v in box]}
+                if with_keypoints and lm is not None:
+                    from facerec_tpu.train.distill import KEYPOINT_NAMES
+
+                    rec["keypoints"] = {
+                        k: [float(lm[i, 0]), float(lm[i, 1])]
+                        for i, k in enumerate(KEYPOINT_NAMES)}
+                f.write(json.dumps(rec) + "\n")
+    return path
+
+
+def test_distill_dataset_batches(clip, tmp_path):
+    from facerec_tpu.train.distill import DistillDataset, load_truth
+
+    tj = truth_jsonl_from_clip(clip, str(tmp_path / "t.jsonl"))
+    truth = load_truth(tj)
+    ds = DistillDataset(clip.path, truth, input_size=(64, 96),
+                        max_boxes=8)
+    assert len(ds) == len(truth) > 0
+    assert ds.use_landmarks
+    it = ds.batches(4, np.random.default_rng(0))
+    ims, bxs, vds, lms, chw = next(it)
+    assert ims.shape == (4, 64, 96, 3)
+    assert bxs.shape == (4, 8, 4) and vds.shape == (4, 8)
+    assert lms.shape == (4, 8, 5, 2)
+    assert chw.shape == (4, 2) and (chw > 0).all() and (chw <= 96).all()
+    # boxes land inside the letterboxed content
+    assert (bxs[vds][:, 2] <= chw[:, 1].max() + 1e-3).all()
+    # second epoch is served from the cache, identically shaped
+    ims2 = next(it)[0]
+    assert ims2.shape == ims.shape
+
+
+def test_distill_box_only_truth_disables_landmarks(clip, tmp_path):
+    from facerec_tpu.train.distill import DistillDataset, load_truth
+
+    tj = truth_jsonl_from_clip(clip, str(tmp_path / "t.jsonl"),
+                               with_keypoints=False)
+    ds = DistillDataset(clip.path, load_truth(tj), input_size=(64, 96))
+    assert not ds.use_landmarks
+
+
+def test_distill_trains_and_checkpoint_loads(clip, tmp_path):
+    import jax.numpy as jnp
+
+    from facerec_tpu.models.load import load_detector_harness
+    from facerec_tpu.train.distill import distill
+
+    tj = truth_jsonl_from_clip(clip, str(tmp_path / "t.jsonl"))
+    out = str(tmp_path / "ckpt")
+    losses = distill(clip.path, tj, out, steps=3, batch_size=2,
+                     input_size=(64, 96), seed=0)
+    assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
+    h = load_detector_harness(out, input_size=(64, 96),
+                              max_detections=4, score_threshold=0.5)
+    det = h(jnp.zeros((1, 48, 64, 3), jnp.uint8))
+    assert det.boxes.shape[0] == 1

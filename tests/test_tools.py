@@ -121,6 +121,17 @@ def test_orchestrator_aborts_on_failure(tmp_path):
     assert run_pipeline([Stage("a", ok), Stage("b", bad, skip=True),
                          Stage("c", ok)]) is True
 
+    # with a data_dir, stage timings land in run_report.json
+    import json
+
+    d = tmp_path / "9-data"
+    d.mkdir()
+    assert run_pipeline([Stage("a", ok), Stage("b", bad)],
+                        data_dir=str(d)) is False
+    report = json.load(open(d / "run_report.json"))
+    assert report["pipeline"]["counters"]["failed_stage"] == "b"
+    assert report["pipeline"]["counters"]["a_seconds"] >= 0
+
 
 def test_prepare_actors_offline(tmp_path, rng):
     """Actor DB builder with injected SPARQL/fetch and a stub embedder:

@@ -45,6 +45,8 @@ HEIGHT, WIDTH = 576, 768   # film display resolution
 CROPS_PER_BLOCK = 64       # faces embedded per block (≈2 per saved frame)
 N_BLOCKS = 20
 DETECTOR_SIZE = (384, 512)   # AR-fitted to 576x768 (models.detector.fit_input_size)
+FETCH_EVERY = 8            # blocks per device→host transfer (e2e mode)
+E2E_FRAMES = 2560          # e2e film length (20 blocks = 2.5 groups)
 
 
 def log(msg):
@@ -78,7 +80,8 @@ class HybridDetector:
                           truth.landmarks + anchor, truth.valid)
 
 
-def bench_e2e(n_frames: int, worker_settings) -> None:
+def bench_e2e(n_frames: int, worker_settings,
+              decode_baseline: bool = True) -> float:
     import jax.numpy as jnp
 
     from facerec_tpu.config import ExtractConfig
@@ -107,16 +110,18 @@ def bench_e2e(n_frames: int, worker_settings) -> None:
 
     info = probe_video(film, None)
 
-    # decode-only baseline: what the native reader alone sustains
-    for workers in worker_settings:
-        r = open_block_reader(film, info, BLOCK, decode_workers=workers)
-        t0 = time.perf_counter()
-        seen = 0
-        for _f0, frames in r.blocks(0, info.n_frames, BLOCK):
-            seen += len(frames)
-        dt = time.perf_counter() - t0
-        r.close()
-        log(f"decode-only (workers={workers}): {seen / dt:.0f} fps")
+    if decode_baseline:
+        # decode-only baseline: what the native reader alone sustains
+        for workers in worker_settings:
+            r = open_block_reader(film, info, BLOCK,
+                                  decode_workers=workers)
+            t0 = time.perf_counter()
+            seen = 0
+            for _f0, frames in r.blocks(0, info.n_frames, BLOCK):
+                seen += len(frames)
+            dt = time.perf_counter() - t0
+            r.close()
+            log(f"decode-only (workers={workers}): {seen / dt:.0f} fps")
 
     compute_dtype = jnp.bfloat16
     harness = DetectorHarness.create(
@@ -132,17 +137,15 @@ def bench_e2e(n_frames: int, worker_settings) -> None:
         out = f"/tmp/facerec_bench/out_w{workers}"
         os.system(f"rm -rf {out} {out}_warm")
         cfg = ExtractConfig(block_frames=BLOCK, decode_workers=workers,
-                            resume=False)
+                            fetch_every_blocks=FETCH_EVERY, resume=False)
 
-        # warm the jit caches with a short shard (same block shapes)
-        warm_shards = max(4, n_frames // (2 * BLOCK))
-        log(f"[workers={workers}] warmup shard "
-            f"({n_frames // warm_shards} frames)...")
+        # warmup = the IDENTICAL full run (covers every compile the
+        # measured run hits: block program, crop/embed buckets, group
+        # concat shapes) — warm and measured runs see the same blocks
+        log(f"[workers={workers}] warmup (full run, compiles)...")
         t0 = time.perf_counter()
-        run_extract(film, ExtractConfig(
-            n_shards=warm_shards, shard_i=0, block_frames=BLOCK,
-            decode_workers=workers, resume=False),
-            out + "_warm", detector=detector, embedders=bank)
+        run_extract(film, cfg, out + "_warm", detector=detector,
+                    embedders=bank)
         log(f"  warmup {time.perf_counter() - t0:.1f}s")
 
         t0 = time.perf_counter()
@@ -161,7 +164,8 @@ def bench_e2e(n_frames: int, worker_settings) -> None:
         "value": round(best, 2),
         "unit": "frames/s",
         "vs_baseline": round(best / BASELINE_FPS, 2),
-    }))
+    }), flush=True)
+    return best
 
 
 def main() -> None:
@@ -245,7 +249,7 @@ def main() -> None:
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
@@ -254,10 +258,12 @@ if __name__ == "__main__":
                         help="measure the full production loop "
                              "(decode→device→files) instead of the "
                              "device program")
-    parser.add_argument("--frames", type=int, default=1500,
+    parser.add_argument("--frames", type=int, default=E2E_FRAMES,
                         help="synthetic film length for --e2e")
     parser.add_argument("--decode-workers", type=str, default="0,2",
                         help="comma-separated settings to sweep")
+    parser.add_argument("--no-e2e", action="store_true",
+                        help="skip the end-to-end line in default mode")
     args = parser.parse_args()
     if args.e2e:
         from facerec_tpu.runtime import ensure_platform
@@ -266,4 +272,8 @@ if __name__ == "__main__":
         bench_e2e(args.frames,
                   [int(w) for w in args.decode_workers.split(",")])
     else:
+        # line 1: pure device throughput; line 2: the REAL production
+        # loop (decode → device → contract files) on this host
         main()
+        if not args.no_e2e:
+            bench_e2e(args.frames, [2], decode_baseline=False)

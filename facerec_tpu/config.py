@@ -66,12 +66,16 @@ class ExtractConfig:
     # Detector input (H, W); None = fit to the film's aspect ratio
     # (stride-32 multiples) so no FLOPs run on padding.
     detector_size: Optional[Tuple[int, int]] = None
-    # Long side of the AR-fitted detector input.  512 downscales a
-    # 576x768 film 1.5x: measured recall on 28-44 px faces 0.93 vs
-    # 1.0 at native resolution (768), at ~2.25x less detector compute
-    # (tools/detector_eval.py --sweep-long-side).  Raise for films
-    # with many small faces.
-    detector_long_side: int = 512
+    # Long side of the AR-fitted detector input.  None (default) =
+    # native display resolution — parity-first, like the reference
+    # which detects at display scale
+    # (/root/reference/facerec/detector.py:20, min_face_size=20).
+    # Setting 512 downscales a 576x768 film 1.5x: measured recall on
+    # 28-44 px faces 0.93 vs 1.0 at native, at ~2.25x less detector
+    # compute (tools/detector_eval.py --sweep-long-side) — the SPEED
+    # opt-in, not the default (see README "Defaults that trade parity
+    # for speed").
+    detector_long_side: Optional[int] = None
     compute_dtype: str = "bfloat16"
 
     # Parallel native decode workers (each seeks per claimed block —

@@ -160,27 +160,64 @@ def run_extract_mesh(
         max_age=cfg.max_trajectory_age, min_hits=cfg.min_trajectory,
         iou_threshold=cfg.iou_threshold)
 
-    stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
-    scene_state = stack([scene_ops.initial_state(d_h, d_w, crop=True)
-                         for _ in range(n)])
-    tracker_state = stack([init_tracker(tracker_cfg) for _ in range(n)])
+    from facerec_tpu.runtime import checkpoint as ckpt
 
     jpeg_writer = make_jpeg_writer(cfg)
     span_cfg = dataclasses.replace(cfg, n_shards=n)
-    # empty spans get no consumer/reader — they only feed padded
+
+    # Fault tolerance, same semantics as the serial loop and the
+    # reference's re-runnable array shards (scripts/extract.sh:41-53):
+    # finished spans are skipped via their .done marker, crashed spans
+    # resume from their block-granular checkpoint.
+    ckpt_paths = [os.path.join(dirs.root,
+                               f".extract_{movie_id}_{beg}-{end}.ckpt")
+                  for beg, end, _ in spans]
+    active = [beg < end and not (
+        cfg.resume and ckpt.is_shard_done(dirs.root, "extract",
+                                          movie_id, beg, end))
+        for beg, end, _ in spans]
+    for i, (beg, end, _) in enumerate(spans):
+        if beg < end and not active[i]:
+            print(f"Span {beg}-{end} already complete; skipping.")
+    resume_states = [
+        ckpt.load_checkpoint(ckpt_paths[i])
+        if (active[i] and cfg.resume and cfg.checkpoint_every_blocks > 0)
+        else None
+        for i in range(n)]
+    start_frames = [
+        rs["next_frame"] if rs is not None else beg
+        for rs, (beg, _, _) in zip(resume_states, spans)]
+    for i, rs in enumerate(resume_states):
+        if rs is not None:
+            print(f"Resuming span {spans[i][0]}-{spans[i][1]} at frame "
+                  f"{start_frames[i]}")
+
+    stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    scene_state = stack([
+        rs["scene_state"] if rs is not None
+        else scene_ops.initial_state(d_h, d_w, crop=True)
+        for rs in resume_states])
+    tracker_state = stack([
+        rs["tracker_state"] if rs is not None
+        else init_tracker(tracker_cfg)
+        for rs in resume_states])
+
+    # empty/done spans get no consumer/reader — they only feed padded
     # blocks to keep the mesh program's shapes
-    consumers = [ShardConsumer(dirs, movie_id, span_cfg, beg, end, d_w,
-                               d_h, embedders, jpeg_writer)
-                 if beg < end else None
-                 for beg, end, _ in spans]
+    consumers: List[Optional[ShardConsumer]] = [
+        ShardConsumer(dirs, movie_id, span_cfg, beg, end, d_w, d_h,
+                      embedders, jpeg_writer,
+                      resume_state=resume_states[i])
+        if active[i] else None
+        for i, (beg, end, _) in enumerate(spans)]
 
     readers = [open_block_reader(file, info, cfg.block_frames,
                                  decode_workers=cfg.decode_workers)
-               if beg < end else None
-               for beg, end, _ in spans]
-    iters = [r.blocks(beg, stop, cfg.block_frames) if r is not None
-             else iter(())
-             for r, (beg, _, stop) in zip(readers, spans)]
+               if active[i] else None
+               for i, _ in enumerate(spans)]
+    iters = [r.blocks(start_frames[i], stop, cfg.block_frames)
+             if r is not None else iter(())
+             for i, (r, (_, _, stop)) in enumerate(zip(readers, spans))]
 
     step = build_mesh_step(mesh, detector, tracker_cfg)
     det_vars = getattr(detector, "variables", {})
@@ -188,7 +225,20 @@ def run_extract_mesh(
     b = cfg.block_frames
     last_frames = [np.zeros((b, d_h, d_w, 3), np.uint8)
                    for _ in range(n)]
-    exhausted = [False] * n
+    exhausted = [not active[i] for i in range(n)]
+    counters: List[ExtractCounters] = []
+
+    def finish_span(i: int) -> None:
+        """Close a span as soon as its frames run out: its .done marker
+        makes a crashed run's restart skip it (reference semantics —
+        each array shard is individually re-runnable,
+        scripts/extract.sh:41-53)."""
+        counters.append(consumers[i].finish())
+        consumers[i] = None
+        if os.path.exists(ckpt_paths[i]):
+            os.remove(ckpt_paths[i])
+
+    steps_done = 0
     while not all(exhausted):
         reals = [0] * n
         frame0s = np.zeros(n, np.int32)
@@ -198,7 +248,10 @@ def run_extract_mesh(
             if nxt is None:
                 # span finished: keep feeding its last (padded) block;
                 # the carried state for this span is never read again
-                exhausted[i] = True
+                if not exhausted[i]:
+                    exhausted[i] = True
+                    if consumers[i] is not None:
+                        finish_span(i)
                 blocks.append(last_frames[i])
                 continue
             frame0, frames = nxt
@@ -228,7 +281,28 @@ def run_extract_mesh(
                 int(frame0s[i]), blocks[i][:real], flags_np[i][:real],
                 emit_i, det_valid[i][:real], landmarks[i][:real])
 
-    counters = [c.finish() for c in consumers if c is not None]
+        steps_done += 1
+        if (cfg.checkpoint_every_blocks > 0
+                and steps_done % cfg.checkpoint_every_blocks == 0):
+            # per-span block-granular checkpoints, same drained-state
+            # semantics as the serial loop (the mesh loop is already
+            # drained here: every dispatched block is consumed)
+            for i in range(n):
+                if consumers[i] is None or reals[i] == 0:
+                    continue
+                span_scene = jax.tree.map(lambda x: np.asarray(x[i]),
+                                          scene_state)
+                span_tracker = jax.tree.map(lambda x: np.asarray(x[i]),
+                                            tracker_state)
+                ckpt.save_checkpoint(
+                    ckpt_paths[i],
+                    next_frame=int(frame0s[i]) + reals[i],
+                    scene_state=span_scene, tracker_state=span_tracker,
+                    **consumers[i].snapshot())
+
+    for i in range(n):
+        if consumers[i] is not None:
+            finish_span(i)
     for r in readers:
         if r is not None:
             r.close()

@@ -529,10 +529,13 @@ def build_detector(cfg: ExtractConfig, d_h: int, d_w: int,
                    detector_weights: Optional[str]):
     from facerec_tpu.models.detector import fit_input_size
 
+    # None = native display resolution (parity-first; the reference
+    # detects at display scale, detector.py:20) — pass an explicit
+    # long side to trade recall on small faces for detector compute
+    long_side = cfg.detector_long_side or max(d_h, d_w)
     harness_kwargs = dict(
         input_size=(cfg.detector_size
-                    or fit_input_size(d_h, d_w,
-                                      long_side=cfg.detector_long_side)),
+                    or fit_input_size(d_h, d_w, long_side=long_side)),
         max_detections=cfg.max_detections,
         score_threshold=cfg.face_threshold,
         min_face_size=cfg.min_face_size)
@@ -879,12 +882,13 @@ def main(argv=None):
                              "simultaneously on an N-device mesh "
                              "(0/1 = single device); outputs are "
                              "byte-identical --n-shards N shard files")
-    parser.add_argument("--detector-long-side", type=int,
-                        default=ExtractConfig.detector_long_side,
+    parser.add_argument("--detector-long-side", type=int, default=0,
                         help="AR-fitted detector input long side; "
-                             "512 trades ~7%% recall on 28-44px faces "
-                             "for 2.25x less detector compute vs "
-                             "native (see config.py)")
+                             "0 (default) = native display resolution "
+                             "(parity with the reference); 512 trades "
+                             "~7%% recall on 28-44px faces for 2.25x "
+                             "less detector compute (see README "
+                             "defaults table)")
     parser.add_argument("--facenet-weights", type=str, default=None,
                         help="directory with the four FaceNet "
                              "checkpoints (<name>.pt / <name>.h5 / "
@@ -908,7 +912,7 @@ def main(argv=None):
         block_frames=args.block_frames,
         decode_workers=args.decode_workers,
         fetch_every_blocks=args.fetch_every_blocks,
-        detector_long_side=args.detector_long_side)
+        detector_long_side=args.detector_long_side or None)
     if args.mesh > 1:
         from facerec_tpu.parallel.extract_mesh import run_extract_mesh
 

@@ -128,6 +128,92 @@ def test_mesh_merge_matches_serial_and_unsharded(both_runs, clip,
                                  "movie_id": 125261}
 
 
+def test_mesh_crash_resume_byte_identical(clip, both_runs, tmp_path,
+                                          monkeypatch):
+    """A mesh run killed mid-film resumes from its per-span checkpoints
+    to byte-identical shard files (VERDICT r2 next-step #4)."""
+    import facerec_tpu.parallel.extract_mesh as em
+
+    _, out_mesh_clean, _ = both_runs
+    out = str(tmp_path / "crashmesh")
+    real_open = em.open_block_reader
+    n_created = [0]
+
+    def flaky_open(*a, **kw):
+        r = real_open(*a, **kw)
+        idx = n_created[0]
+        n_created[0] += 1
+        if idx == 1:                      # sabotage span 1's reader
+            real_blocks = r.blocks
+
+            def blocks(beg, end, block):
+                for k, item in enumerate(real_blocks(beg, end, block)):
+                    if k == 1:
+                        raise RuntimeError("injected mesh crash")
+                    yield item
+
+            r.blocks = blocks
+        return r
+
+    cfg = ExtractConfig(block_frames=16, max_detections=8, max_tracks=16,
+                        checkpoint_every_blocks=1)
+    mesh = frame_mesh(jax.devices()[:N_DEV])
+    monkeypatch.setattr(em, "open_block_reader", flaky_open)
+    with pytest.raises(RuntimeError, match="injected mesh crash"):
+        run_extract_mesh(
+            clip.path, cfg, out, mesh=mesh,
+            detector=PureScriptedDetector(clip, max_detections=8),
+            embedders=StubEmbedderBank())
+    monkeypatch.setattr(em, "open_block_reader", real_open)
+    assert any(f.endswith(".ckpt")
+               for f in os.listdir(f"{out}/125261-data"))
+
+    counters = run_extract_mesh(
+        clip.path, cfg, out, mesh=mesh,
+        detector=PureScriptedDetector(clip, max_detections=8),
+        embedders=StubEmbedderBank())
+    assert counters  # at least the crashed span re-ran
+
+    for sub in ("trajectories", "features", "scene_changes", "images"):
+        a = _tree_bytes(f"{out_mesh_clean}/125261-data/{sub}")
+        b = _tree_bytes(f"{out}/125261-data/{sub}")
+        assert set(a) == set(b), (sub, set(a) ^ set(b))
+        for rel in a:
+            assert a[rel] == b[rel], f"{sub}/{rel} differs"
+    # no stale checkpoints; all spans marked done
+    files = os.listdir(f"{out}/125261-data")
+    assert not any(f.endswith(".ckpt") for f in files)
+    assert sum(f.endswith(".done") for f in files) == N_DEV
+
+    # a third run skips every span
+    counters = run_extract_mesh(
+        clip.path, cfg, out, mesh=mesh,
+        detector=PureScriptedDetector(clip, max_detections=8),
+        embedders=StubEmbedderBank())
+    assert counters == []
+
+
+def test_mesh_more_devices_than_frames(tmp_path):
+    """n_frames < span_len·(n-1): trailing spans are empty and must
+    produce no inverted shard files (ADVICE r2)."""
+    from facerec_tpu.video.synth import make_clip as mc
+
+    path = str(tmp_path / "5-Tiny.mp4")
+    tiny = mc(path, n_frames=21, cuts=(), seed=2)
+    mesh = frame_mesh(jax.devices()[:4])
+    cfg = ExtractConfig(block_frames=8, max_detections=8, max_tracks=16,
+                        save_images=False)
+    counters = run_extract_mesh(
+        path, cfg, str(tmp_path / "out"), mesh=mesh,
+        detector=PureScriptedDetector(tiny, max_detections=8),
+        embedders=StubEmbedderBank())
+    assert sum(c.frames_processed for c in counters) >= 21
+    names = os.listdir(f"{tmp_path}/out/5-data/trajectories")
+    for n in names:
+        beg, end = n.rsplit("_", 1)[1].split(".")[0].split("-")
+        assert int(beg) < int(end), n
+
+
 def test_pure_scripted_detector_paths_agree(clip):
     """The pure (mesh) and host (serial) protocols of
     PureScriptedDetector return the same detections."""

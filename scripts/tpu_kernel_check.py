@@ -41,6 +41,49 @@ def check(shape, rng):
     print(f"  {h}x{w} ({plane_bytes / 1e6:.1f} MB, {path}): exact")
 
 
+def check_fullhd_block() -> None:
+    """The WHOLE fused extract block program at 1080p on hardware:
+    row-tiled equalize inside the scene scan + AR-fitted detector +
+    tracker + crops — the high-resolution e2e spot check
+    (tests/test_extract_e2e.py::test_full_hd_film_e2e is the CPU
+    twin)."""
+    from facerec_tpu.models import DetectorHarness
+    from facerec_tpu.models.detector import fit_input_size
+    from facerec_tpu.ops import scene as scene_ops
+    from facerec_tpu.ops.crops import crop_resize
+    from facerec_tpu.track import TrackerConfig, init_tracker
+    from facerec_tpu.track.tracker import _run_block_impl
+
+    b, h, w = 32, 1080, 1920
+    size = fit_input_size(h, w, long_side=512)
+    detector = DetectorHarness.create(
+        input_size=size, max_detections=16, score_threshold=0.95,
+        dtype=jnp.bfloat16)
+    tracker_cfg = TrackerConfig(max_tracks=32, max_detections=16)
+
+    def block(det_vars, frames, scene_state, tracker_state):
+        flags, scene_state = scene_ops._detect_block_impl(
+            frames, scene_state)
+        det = detector._forward(det_vars, frames)
+        tracker_state, emit = _run_block_impl(
+            tracker_cfg, tracker_state, det.boxes, det.valid, flags,
+            jnp.int32(0))
+        crops = crop_resize(frames, jnp.zeros(16, jnp.int32),
+                            jnp.tile(jnp.asarray(
+                                [[100., 100., 260., 260.]]), (16, 1)),
+                            160)
+        return (flags.sum().astype(jnp.float32) + emit.box.sum()
+                + crops.sum() + det.scores.astype(jnp.float32).sum())
+
+    rng = np.random.default_rng(5)
+    frames = jnp.asarray(rng.integers(0, 255, (b, h, w, 3)), jnp.uint8)
+    out = jax.jit(block)(detector.variables, frames,
+                         scene_ops.initial_state(h, w, crop=True),
+                         init_tracker(tracker_cfg))
+    assert np.isfinite(float(out)), out
+    print(f"  fused 1080p block ({b} frames, detector {size}): finite")
+
+
 def main():
     if jax.default_backend() != "tpu":
         print("No TPU present; nothing checked.")
@@ -50,6 +93,7 @@ def main():
     check((4, 383, 768), rng)     # SD film post-crop, odd rows (fused)
     check((2, 960, 1920), rng)    # cropped 1080p, 7.4 MB (tiled)
     check((1, 2048, 4096), rng)   # 4K-class plane, 33.6 MB (tiled)
+    check_fullhd_block()          # whole extract block at 1080p
     print("TPU kernel check: PASS")
     return 0
 

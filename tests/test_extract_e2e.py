@@ -320,6 +320,41 @@ def test_fetch_grouping_crash_resume(clip, tmp_path):
     _compare_shard_files(f"{clean}/125261-data", f"{crashed}/125261-data")
 
 
+def test_full_hd_film_e2e(tmp_path):
+    """≥1080p display resolution through the full extract path — the
+    resolution class where the scene kernel's plane exceeds the fused
+    Pallas budget and takes the row-tiled path on TPU (bit-identical
+    bincount fallback here on CPU; scripts/tpu_kernel_check.py runs the
+    same block on hardware).  VERDICT r2 next-step #7."""
+    from facerec_tpu.ops.pallas.equalize import _FUSED_PLANE_BYTES
+    from facerec_tpu.video.synth import PureScriptedDetector
+
+    w, h = 1920, 1080
+    # this resolution MUST exercise row tiling on TPU
+    assert h * w * 4 > _FUSED_PLANE_BYTES
+
+    path = str(tmp_path / "88-FullHD.mp4")
+    clip = make_clip(path, n_frames=16, width=w, height=h, cuts=(8,),
+                     seed=17)
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig(n_shards=1, shard_i=0, block_frames=8,
+                        max_detections=8, max_tracks=16,
+                        save_images=True)
+    c = run_extract(clip.path, cfg, out,
+                    detector=PureScriptedDetector(clip, max_detections=8),
+                    embedders=DeferredStubBank())
+    assert c.frames_processed == 16
+    d = f"{out}/88-data"
+    sc = json.load(open(f"{d}/scene_changes/scene_changes_88_0-16.json"))
+    assert sc["frame_indices"] == [8]
+    feats = list(records.read_jsonl(f"{d}/features/features_88_0-16.jsonl"))
+    assert feats
+    for f in feats:
+        assert f["w"] == w and f["h"] == h
+        assert 0 <= f["box"][0] < f["box"][2] <= w
+    assert len(os.listdir(f"{d}/images")) == len(feats)
+
+
 def test_odd_geometry_film(tmp_path):
     """Non-standard frame geometry end to end: odd crop inset, row
     padding in the scene kernel packing, AR-fitted detector sizing."""

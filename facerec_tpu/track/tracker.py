@@ -208,6 +208,17 @@ def step(
     return new_state, emit
 
 
+# lax.scan unroll factor for the per-frame tracker step.  The step's
+# tensors are tiny (a (T,8) Kalman table and a (T,D) IoU matrix), so
+# per-iteration loop overhead is a real fraction of the scan's device
+# time; unrolling trades a longer program for fewer loop trips.
+# Bit-identical output at any factor (same ops, same order) —
+# overridable for A/B measurement via FACEREC_TRACKER_UNROLL.
+import os as _os
+
+SCAN_UNROLL = int(_os.environ.get("FACEREC_TRACKER_UNROLL", "1"))
+
+
 def _run_block_impl(cfg, state, det_boxes, det_valid, scene_changes,
                     frame0):
     b = det_boxes.shape[0]
@@ -219,7 +230,8 @@ def _run_block_impl(cfg, state, det_boxes, det_valid, scene_changes,
 
     offsets = jnp.arange(b, dtype=jnp.int32)
     return jax.lax.scan(body, state, (det_boxes, det_valid, scene_changes,
-                                      offsets))
+                                      offsets),
+                        unroll=min(SCAN_UNROLL, b))
 
 
 _run_block_jit = jax.jit(_run_block_impl, static_argnums=0)

@@ -165,7 +165,8 @@ def distill(film: str, truth_path: str, out: str, steps: int,
             input_size: Optional[Tuple[int, int]] = None,
             long_side: int = 512, learning_rate: float = 1e-3,
             init_weights: Optional[str] = None, seed: int = 0,
-            log_every: int = 50) -> list:
+            log_every: int = 50,
+            model_kwargs: Optional[dict] = None) -> list:
     """Train the detector toward the reference's detections; saves an
     orbax checkpoint consumable by ``--detector-weights``.  Returns the
     loss history."""
@@ -188,7 +189,8 @@ def distill(film: str, truth_path: str, out: str, steps: int,
     print(f"distill: {len(ds)} truth frames, input {input_size}, "
           f"landmarks={'on' if ds.use_landmarks else 'off'}")
 
-    trainer = DetectorTrainer(FaceDetector(), input_size=input_size,
+    trainer = DetectorTrainer(FaceDetector(**(model_kwargs or {})),
+                              input_size=input_size,
                               learning_rate=learning_rate,
                               use_landmarks=ds.use_landmarks)
     if init_weights is not None:

@@ -10,16 +10,17 @@ device-to-device data dependencies only; the host syncs once at the
 end, so the number is pure device throughput (what a double-buffered
 production extract sustains per chip).
 
-``--e2e`` instead measures the REAL production loop end to end: a
+The second JSON line measures the REAL production loop end to end: a
 synthetic 576×768 mp4 through ``run_extract`` — native C++ decode,
 host→device block upload, the fused device program (full detector
 FLOPs; detections overlaid from the clip's ground truth so the
-downstream crop/embed/JPEG load is realistic), batched crop+embed,
-JPEG face images and contract files — reporting wall frames/s per
-decode-worker setting plus a decode-only baseline.  On the tunneled
-bench harness host↔device transfers are capped (~35 MB/s after the
-first fetch), so the e2e number there is transfer-bound; on a real
-host (PCIe) decode is the bound, which the decode-only number shows.
+downstream crop/embed/JPEG load is realistic), batched crop+embed
+with group-batched device→host fetches (one transfer per
+``FETCH_EVERY`` blocks), JPEG face images and contract files.  The
+warm run is the IDENTICAL full run (same block count, same fetch
+group shapes), so the measured run pays zero compiles.  ``--e2e``
+runs only that mode with a decode-worker sweep and a decode-only
+baseline (the bound on a real PCIe host).
 
 The baseline is the effective cluster throughput the reference
 provisions for the same work: 100 SLURM GPU shards × ~1800 frames

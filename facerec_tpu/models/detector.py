@@ -269,9 +269,19 @@ class DetectorHarness:
         # b64) and halves in bf16 with no effect on detections.  (A
         # separable-matmul resize is faster standalone but fuses
         # catastrophically inside the single-program extract block —
-        # measured 17× slower end-to-end.)
+        # measured 17× slower end-to-end.  The gather-free periodic
+        # strided-slice formulation in ops/resize.py is elementwise and
+        # fusion-friendly instead; opt in with FACEREC_RESIZE=periodic
+        # pending an on-chip A/B inside the fused program.)
+        import os as _os
+
         x = frames.astype(self.model.dtype)
-        x = jax.image.resize(x, (b, sh, sw, 3), "bilinear")
+        if _os.environ.get("FACEREC_RESIZE", "xla") == "periodic":
+            from facerec_tpu.ops.resize import letterbox_resize
+
+            x = letterbox_resize(x, (sh, sw))
+        else:
+            x = jax.image.resize(x, (b, sh, sw, 3), "bilinear")
         x = jnp.pad(x, ((0, 0), (0, ih - sh), (0, iw - sw), (0, 0)))
         x = (x - 127.5) / 128.0
 

@@ -135,6 +135,10 @@ def run_extract_mesh(
     movie_id = movie_id_from_filename(file)
     dirs = MovieDirs.create(out_path, movie_id)
 
+    from facerec_tpu.runtime.metrics import StageReport
+
+    report = StageReport(f"extract_mesh_{n}")
+
     span_len = (info.n_frames + n - 1) // n
     spans = []
     for i in range(n):
@@ -315,6 +319,12 @@ def run_extract_mesh(
         saved_trajectories=sum(c.saved_trajectories for c in counters),
         frames_processed=sum(c.frames_processed for c in counters),
         overflow=sum(c.overflow for c in counters))
+    if counters:
+        for name, value in dataclasses.asdict(total).items():
+            report.set(name, value)
+        report.set("spans", n)
+        report.set("steps", steps_done)
+        report.write(dirs.root)
     print(f"Saved {total.saved_boxes} boxes from "
           f"{total.saved_frames} different frames")
     print(f"and {total.saved_trajectories} trajectories "

@@ -32,6 +32,7 @@ def build_stages(filmfile: str, out_path: str, cfg: PipelineConfig,
                  actors_dir: Optional[str] = None,
                  skip: List[str] = (),
                  shard_procs: int = 0,
+                 mesh: int = 0,
                  detector_weights: Optional[str] = None,
                  facenet_weights: Optional[str] = None) -> List[Stage]:
     movie_id = movie_id_from_filename(filmfile)
@@ -81,6 +82,13 @@ def build_stages(filmfile: str, out_path: str, cfg: PipelineConfig,
                     raise RuntimeError(
                         f"extract shard {i} failed ({res.returncode})")
             return None
+        if mesh > 1:
+            from facerec_tpu.parallel.extract_mesh import run_extract_mesh
+
+            return run_extract_mesh(filmfile, cfg.extract, out_path,
+                                    mesh_size=mesh,
+                                    detector_weights=detector_weights,
+                                    facenet_weights=facenet_weights)
         from facerec_tpu.pipeline.extract import run_extract
 
         return run_extract(filmfile, cfg.extract, out_path,
@@ -178,6 +186,10 @@ def main(argv=None) -> int:
                         help="run extract as N sequential per-shard "
                              "subprocesses (the reference's array-job "
                              "model; shards are resumable)")
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="run extract as N simultaneous shard "
+                             "spans on an N-device mesh (see extract "
+                             "--mesh)")
     parser.add_argument("--facenet-weights", type=str, default=None,
                         help="directory with the four FaceNet "
                              "checkpoints (see extract --help)")
@@ -190,6 +202,7 @@ def main(argv=None) -> int:
                           actors_dir=args.actors_dir,
                           skip=args.skip.split(",") if args.skip else (),
                           shard_procs=args.shard_procs,
+                          mesh=args.mesh,
                           detector_weights=args.detector_weights,
                           facenet_weights=args.facenet_weights)
     movie_id = movie_id_from_filename(args.filmfile)

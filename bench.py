@@ -158,6 +158,15 @@ def bench_e2e(n_frames: int, worker_settings,
         log(f"[workers={workers}] e2e {fps:.1f} fps "
             f"({counters.frames_processed} frames, "
             f"{counters.saved_boxes} faces, {dt:.1f}s)")
+        try:
+            rep = json.load(open(f"{out}/125261-data/run_report.json"))
+            (stage,) = [k for k in rep if k.startswith("extract_")]
+            c = rep[stage]["counters"]
+            log("  phases: " + " ".join(
+                f"{p}={c.get(p + '_seconds', '?')}s"
+                for p in ("decode", "dispatch", "fetch", "consume")))
+        except (OSError, ValueError, KeyError):
+            pass
 
     best = max(results.values())
     print(json.dumps({

@@ -177,14 +177,18 @@ def anchor_centers(input_size: Tuple[int, int]) -> np.ndarray:
     return np.concatenate(all_anchors, axis=0)
 
 
-def decode(raw: List[Dict[str, jnp.ndarray]], anchors: jnp.ndarray):
-    """Decode per-level raw head outputs against anchors.
+def decode_scores_boxes(raw: List[Dict[str, jnp.ndarray]],
+                        anchors: jnp.ndarray):
+    """Scores + boxes for every anchor; landmarks stay RAW so the
+    harness can decode them only for its top-k NMS candidates (the
+    full-anchor landmark decode is 10/14 of the decode traffic and all
+    but ~1% of it is discarded by pre-selection).
 
-    Returns (scores (B,A), boxes (B,A,4) xyxy, landmarks (B,A,5,2)).
+    Returns (scores (B,A), boxes (B,A,4) xyxy, ldm_raw (B,A,10)).
     """
     score = jnp.concatenate([o["score"] for o in raw], axis=1)
     box = jnp.concatenate([o["box"] for o in raw], axis=1)
-    ldm = jnp.concatenate([o["ldm"] for o in raw], axis=1)
+    ldm_raw = jnp.concatenate([o["ldm"] for o in raw], axis=1)
 
     a_cx, a_cy, a_w, a_h = [anchors[:, i] for i in range(4)]
     v0, v1 = VARIANCES
@@ -194,12 +198,28 @@ def decode(raw: List[Dict[str, jnp.ndarray]], anchors: jnp.ndarray):
     h = a_h * jnp.exp(jnp.clip(box[..., 3] * v1, -10, 6))
     xyxy = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
                      axis=-1)
+    return jax.nn.sigmoid(score), xyxy, ldm_raw
 
-    ldm = ldm.reshape(*ldm.shape[:-1], 5, 2)
-    lx = a_cx[:, None] + ldm[..., 0] * v0 * a_w[:, None]
-    ly = a_cy[:, None] + ldm[..., 1] * v0 * a_h[:, None]
-    landmarks = jnp.stack([lx, ly], axis=-1)
-    return jax.nn.sigmoid(score), xyxy, landmarks
+
+def decode_landmarks(ldm_raw: jnp.ndarray, anchors: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """(..., 10) raw landmark offsets + (..., 4) anchors → (..., 5, 2)."""
+    a_cx, a_cy, a_w, a_h = [anchors[..., i] for i in range(4)]
+    v0 = VARIANCES[0]
+    ldm = ldm_raw.reshape(*ldm_raw.shape[:-1], 5, 2)
+    lx = a_cx[..., None] + ldm[..., 0] * v0 * a_w[..., None]
+    ly = a_cy[..., None] + ldm[..., 1] * v0 * a_h[..., None]
+    return jnp.stack([lx, ly], axis=-1)
+
+
+def decode(raw: List[Dict[str, jnp.ndarray]], anchors: jnp.ndarray):
+    """Full decode of every anchor (tests/tools; the harness uses the
+    split form above).
+
+    Returns (scores (B,A), boxes (B,A,4) xyxy, landmarks (B,A,5,2)).
+    """
+    scores, xyxy, ldm_raw = decode_scores_boxes(raw, anchors)
+    return scores, xyxy, decode_landmarks(ldm_raw, anchors)
 
 
 class Detections(NamedTuple):
@@ -287,11 +307,10 @@ class DetectorHarness:
 
         raw = self.model.apply(variables, x)
         anchors = jnp.asarray(anchor_centers(self.input_size))
-        scores, boxes, landmarks = decode(raw, anchors)
+        scores, boxes, ldm_raw = decode_scores_boxes(raw, anchors)
 
-        # back to display coordinates
+        # back to display coordinates (landmarks decode lazily below)
         boxes = boxes / scale
-        landmarks = landmarks / scale
 
         # Clamp to the display frame BEFORE the size filter: a box
         # whose visible part is smaller than min_face_size is not a
@@ -314,8 +333,12 @@ class DetectorHarness:
         n_cand = min(n_cand, masked.shape[1])
         top_scores, top_idx = jax.lax.top_k(masked, n_cand)
         top_boxes = jnp.take_along_axis(boxes, top_idx[..., None], axis=1)
-        top_ldm = jnp.take_along_axis(
-            landmarks, top_idx[..., None, None], axis=1)
+        # landmarks decode only for the selected candidates — same
+        # per-element math as a full decode + gather, a fraction of
+        # the traffic
+        top_ldm = decode_landmarks(
+            jnp.take_along_axis(ldm_raw, top_idx[..., None], axis=1),
+            anchors[top_idx]) / scale
 
         def per_frame(bx, sc, ldm):
             idx, valid = nms(bx, sc, self.nms_iou, self.max_detections)

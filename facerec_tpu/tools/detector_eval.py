@@ -180,9 +180,10 @@ def main(argv=None):
     parser.add_argument("--face-threshold", type=float, default=0.95)
     parser.add_argument("--min-face-size", type=float, default=20.0)
     parser.add_argument("--iou-threshold", type=float, default=0.5)
-    parser.add_argument("--sweep-long-side", default="512",
+    parser.add_argument("--sweep-long-side", default="0,512",
                         help="comma-separated detector long sides; "
-                             "0 = native resolution (no downscale)")
+                             "0 = native resolution (the parity "
+                             "default; 512 is the speed opt-in)")
     parser.add_argument("--out", default=None,
                         help="write the report JSON here too")
     args = parser.parse_args(argv)

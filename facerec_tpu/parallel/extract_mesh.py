@@ -56,45 +56,93 @@ def _detector_forward(detector) -> Callable:
         variables, frames)
 
 
-def build_mesh_step(mesh, detector, tracker_cfg: TrackerConfig):
+class MeshBlockStep:
     """One jitted dispatch advancing every span by one block.
 
     Per device (leading mesh axis): scene statistics with carried
     2-frame state, detector forward, tracker scan with carried track
     table — the exact serial FusedBlockStep body under ``shard_map``.
+    The host-consumed payload (flags, emissions, detection validity,
+    landmarks — all spans) comes back as ONE packed uint8 buffer so
+    the step costs a single device→host transfer regardless of mesh
+    size; :meth:`unpack` restores the (n, ...) pytree.
     """
-    import jax
-    from jax.sharding import PartitionSpec as P
 
-    from facerec_tpu.ops import scene as scene_ops
+    def __init__(self, mesh, detector, tracker_cfg: TrackerConfig):
+        import jax
+        from jax.sharding import PartitionSpec as P
 
-    fwd = _detector_forward(detector)
+        from facerec_tpu.ops import scene as scene_ops
+        from facerec_tpu.runtime.transfer import pack_tree
 
-    def per_device(det_vars, frames, scene_state, tracker_state, frame0):
-        frames, frame0 = frames[0], frame0[0]
-        scene_state = jax.tree.map(lambda x: x[0], scene_state)
-        tracker_state = jax.tree.map(lambda x: x[0], tracker_state)
+        fwd = _detector_forward(detector)
 
-        flags, scene_state = scene_ops._detect_block_impl(
-            frames, scene_state)
-        det = fwd(det_vars, frames, frame0)
-        tracker_state, emit = run_block(
-            tracker_cfg, tracker_state, det.boxes, det.valid, flags,
-            frame0)
+        def per_device(det_vars, frames, scene_state, tracker_state,
+                       frame0):
+            frames, frame0 = frames[0], frame0[0]
+            scene_state = jax.tree.map(lambda x: x[0], scene_state)
+            tracker_state = jax.tree.map(lambda x: x[0], tracker_state)
 
-        lead = lambda t: jax.tree.map(lambda x: x[None], t)
-        return (flags[None], lead(det), lead(emit), lead(scene_state),
-                lead(tracker_state))
+            flags, scene_state = scene_ops._detect_block_impl(
+                frames, scene_state)
+            det = fwd(det_vars, frames, frame0)
+            tracker_state, emit = run_block(
+                tracker_cfg, tracker_state, det.boxes, det.valid, flags,
+                frame0)
 
-    sharded = jax.shard_map(
-        per_device, mesh=mesh,
-        in_specs=(P(), P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS),
-                  P(FRAME_AXIS)),
-        out_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS),
-                   P(FRAME_AXIS), P(FRAME_AXIS)),
-        check_vma=False,
-    )
-    return jax.jit(sharded)
+            lead = lambda t: jax.tree.map(lambda x: x[None], t)
+            return (flags[None], lead(det), lead(emit),
+                    lead(scene_state), lead(tracker_state))
+
+        sharded = jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS),
+                      P(FRAME_AXIS)),
+            out_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS),
+                       P(FRAME_AXIS), P(FRAME_AXIS)),
+            check_vma=False,
+        )
+
+        def payload_fn(det_vars, frames, scene_state, tracker_state,
+                       frame0):
+            flags, det, emit, _ss, _ts = sharded(
+                det_vars, frames, scene_state, tracker_state, frame0)
+            return (flags, emit, det.valid, det.landmarks)
+
+        def step(det_vars, frames, scene_state, tracker_state, frame0):
+            flags, det, emit, scene_state, tracker_state = sharded(
+                det_vars, frames, scene_state, tracker_state, frame0)
+            payload = (flags, emit, det.valid, det.landmarks)
+            return pack_tree(payload), scene_state, tracker_state
+
+        self._payload_fn = payload_fn
+        self._jitted = jax.jit(step)
+        self._jax = jax
+        self._spec = None
+
+    def __call__(self, det_vars, frames, scene_state, tracker_state,
+                 frame0):
+        if self._spec is None:
+            from facerec_tpu.runtime.transfer import tree_spec
+
+            payload_shape = self._jax.eval_shape(
+                self._payload_fn, det_vars, frames, scene_state,
+                tracker_state, frame0)
+            self._spec = tree_spec(payload_shape)
+        return self._jitted(det_vars, frames, scene_state,
+                            tracker_state, frame0)
+
+    def unpack(self, packed_host):
+        """Fetched uint8 buffer → (flags, emit, det_valid, landmarks),
+        each with the (n, ...) span-leading axis."""
+        from facerec_tpu.runtime.transfer import unpack_tree
+
+        return unpack_tree(packed_host, *self._spec)
+
+
+def build_mesh_step(mesh, detector, tracker_cfg: TrackerConfig
+                    ) -> MeshBlockStep:
+    return MeshBlockStep(mesh, detector, tracker_cfg)
 
 
 def run_extract_mesh(
@@ -270,12 +318,13 @@ def run_extract_mesh(
         if all(exhausted):
             break
 
-        flags, det, emit, scene_state, tracker_state = step(
+        packed, scene_state, tracker_state = step(
             det_vars, jnp.asarray(np.stack(blocks)), scene_state,
             tracker_state, jnp.asarray(frame0s))
 
-        flags_np, emit_host, det_valid, landmarks = jax.device_get(
-            (flags, emit, det.valid, det.landmarks))
+        # one device→host transfer for all spans' host payload
+        flags_np, emit_host, det_valid, landmarks = step.unpack(
+            np.asarray(packed))
         for i in range(n):
             real = reals[i]
             if real == 0:

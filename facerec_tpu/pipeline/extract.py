@@ -64,6 +64,23 @@ class PendingEmbed:
 
 
 @dataclasses.dataclass
+class FlushPlan:
+    """One block-flush's face selection, before any device work.
+
+    Selection (and JPEG writing) happens per block watermark — exactly
+    the reference's deferred-validity semantics — but the crop+embed
+    dispatch of many plans is batched into ONE device call per fetch
+    group (:meth:`ShardConsumer.dispatch_flush_plans`), because on
+    high-latency links every host↔device interaction costs a round
+    trip regardless of size (docs/DESIGN.md "End-to-end host loop").
+    """
+
+    ready: List["faces_mod.PendingFace"]
+    tight_boxes: List[np.ndarray]
+    crop_boxes: np.ndarray
+
+
+@dataclasses.dataclass
 class ExtractCounters:
     saved_boxes: int = 0
     saved_frames: int = 0
@@ -181,6 +198,16 @@ class EmbedderBank:
 
         self._packed_embed = jax.jit(packed_embed)
 
+        from facerec_tpu.ops.crops import crop_resize
+
+        def packed_crop_embed(backbone, bottlenecks, stack, frame_idx,
+                              crop_boxes):
+            crops = crop_resize(stack, frame_idx, crop_boxes,
+                                FACE_IMAGE_SIZE)
+            return packed_embed(backbone, bottlenecks, crops)
+
+        self._packed_crop_embed = jax.jit(packed_crop_embed)
+
     @classmethod
     def create_default(cls, dtype=None) -> "EmbedderBank":
         import jax.numpy as jnp
@@ -209,6 +236,22 @@ class EmbedderBank:
         and restores values with :meth:`unpack`."""
         return self._packed_embed(self.pooled.backbone_stack,
                                   self.pooled.bottlenecks, crops)
+
+    def dispatch_crop_embed(self, stack, frame_idx, crop_boxes):
+        """Fused crop + all-checkpoint embed as ONE device dispatch
+        (crops never reach the host — JPEGs come from the host pixel
+        window).  Subclasses without the fused program fall back to
+        crop dispatch + :meth:`dispatch_packed` (two enqueues)."""
+        fused = getattr(self, "_packed_crop_embed", None)
+        if fused is not None:
+            return fused(self.pooled.backbone_stack,
+                         self.pooled.bottlenecks, stack, frame_idx,
+                         crop_boxes)
+        from facerec_tpu.ops.crops import crop_resize_dispatch
+
+        crops = crop_resize_dispatch(stack, frame_idx, crop_boxes,
+                                     FACE_IMAGE_SIZE)
+        return self.dispatch_packed(crops)
 
     def unpack(self, buf: np.ndarray, n: int) -> Dict[str, np.ndarray]:
         """Fetched uint8 buffer → {checkpoint: (n, dim) float32}."""
@@ -286,6 +329,8 @@ class ShardConsumer:
         # checkpointed — a resumed run falls back to host upload for
         # its first flush).
         self.dev_window: Dict[int, object] = {}
+        # flush plans selected but not yet dispatched (group batching)
+        self._plans: List[FlushPlan] = []
 
     def feed_block(self, frame0: int, frames: np.ndarray,
                    flags: np.ndarray, emit_host, det_valid: np.ndarray,
@@ -345,11 +390,20 @@ class ShardConsumer:
         device, and write their JPEG images — WITHOUT fetching the
         embeddings.  Returns a :class:`PendingEmbed` the caller later
         passes to :meth:`complete_flush` (with the fetched bytes, or
-        alone for a standalone fetch); None when nothing is ready."""
-        import jax.numpy as jnp
+        alone for a standalone fetch); None when nothing is ready.
 
-        from facerec_tpu.ops.crops import crop_resize_dispatch as crop_resize
+        Equivalent to :meth:`plan_flush` + :meth:`dispatch_flush_plans`
+        (which group-fetch drivers call separately to batch many
+        blocks' device work into one dispatch)."""
+        self.plan_flush(watermark)
+        return self.dispatch_flush_plans()
 
+    def plan_flush(self, watermark: Optional[int]) -> Optional[FlushPlan]:
+        """Select the faces ready at ``watermark`` and write their JPEG
+        images — no device work.  The plan queues until
+        :meth:`dispatch_flush_plans`; selection and file order are
+        identical at any batching, so output bytes don't depend on the
+        fetch group size."""
         cfg = self.cfg
         due = [p for p in self.pending
                if watermark is None or p.frame <= watermark]
@@ -367,34 +421,58 @@ class ShardConsumer:
             self._trim_window()
             return None
 
-        # Device: batched crop + embed for every ready face.  Crops
-        # read the device-resident window blocks when mirrored there
-        # (no re-upload); the host copies feed JPEGs.
-        block_starts = sorted(self.pixel_window)
-        dev_stack = [self.dev_window[b] if b in self.dev_window
-                     else jnp.asarray(self.pixel_window[b])
-                     for b in block_starts]
-        dev_stack = (dev_stack[0] if len(dev_stack) == 1
-                     else jnp.concatenate(dev_stack))
-        offsets = {}
-        off = 0
-        for b in block_starts:
-            offsets[b] = off
-            off += len(self.pixel_window[b])
-
-        def stack_index(frame: int) -> int:
-            for b in reversed(block_starts):
-                if frame >= b:
-                    return offsets[b] + (frame - b)
-            raise KeyError(f"frame {frame} left the pixel window")
-
         d_w, d_h = self.d_w, self.d_h
         tight_boxes = [round_clip_box(p.posterior_box, d_w, d_h)
                        for p in ready]
         crop_boxes = np.stack([
             faces_mod.embed_crop_box(tb, d_w, d_h) for tb in tight_boxes])
-        frame_idx = np.array([stack_index(p.frame) for p in ready],
-                             np.int32)
+
+        if cfg.save_images:
+            for i, p in enumerate(ready):
+                faces_mod.save_face_image(
+                    self.pixel_window[self._block_of(p.frame)]
+                    [p.frame - self._block_of(p.frame)],
+                    p.posterior_box, d_w, d_h, self.dirs.images,
+                    box_tag(self.movie_id, p.frame, tight_boxes[i]),
+                    jpeg_writer=self.jpeg_writer)
+
+        plan = FlushPlan(ready, tight_boxes, crop_boxes)
+        self._plans.append(plan)
+        self._trim_window()
+        return plan
+
+    def dispatch_flush_plans(self) -> Optional[PendingEmbed]:
+        """Dispatch ONE batched crop+embed covering every queued flush
+        plan.  The returned :class:`PendingEmbed` concatenates the
+        plans in selection order, so :meth:`complete_flush` writes the
+        same feature records in the same order as per-plan dispatches
+        would — one device interaction per fetch group instead of
+        several per block (the round-trip count, not bytes, bounds
+        throughput on high-latency hosts)."""
+        import jax.numpy as jnp
+
+        plans, self._plans = self._plans, []
+        if not plans:
+            return None
+        ready = [p for plan in plans for p in plan.ready]
+        tight_boxes = [tb for plan in plans for tb in plan.tight_boxes]
+        crop_boxes = np.concatenate([plan.crop_boxes for plan in plans])
+
+        # device stack of exactly the blocks the crops reference; the
+        # blocks are already in HBM (dev_window) unless resuming
+        needed = sorted({self._block_of(p.frame) for p in ready})
+        dev_stack = [self.dev_window[b] if b in self.dev_window
+                     else jnp.asarray(self.pixel_window[b])
+                     for b in needed]
+        lens = [int(d.shape[0]) for d in dev_stack]
+        dev_stack = (dev_stack[0] if len(dev_stack) == 1
+                     else jnp.concatenate(dev_stack))
+        offsets = {b: sum(lens[:i]) for i, b in enumerate(needed)}
+        frame_idx = np.array(
+            [offsets[self._block_of(p.frame)]
+             + (p.frame - self._block_of(p.frame)) for p in ready],
+            np.int32)
+
         # pad the crop batch to a power of two (min 16) so the
         # crop/embed programs compile for a bounded set of shapes
         n_real = len(ready)
@@ -406,23 +484,19 @@ class ShardConsumer:
             frame_idx = np.concatenate(
                 [frame_idx,
                  np.full(bucket - n_real, frame_idx[-1], np.int32)])
-        crops = crop_resize(dev_stack, jnp.asarray(frame_idx),
-                            jnp.asarray(crop_boxes), FACE_IMAGE_SIZE)
-
-        if cfg.save_images:
-            for i, p in enumerate(ready):
-                faces_mod.save_face_image(
-                    self.pixel_window[self._block_of(p.frame)]
-                    [p.frame - self._block_of(p.frame)],
-                    p.posterior_box, d_w, d_h, self.dirs.images,
-                    box_tag(self.movie_id, p.frame, tight_boxes[i]),
-                    jpeg_writer=self.jpeg_writer)
 
         if getattr(self.embedders, "supports_deferred", False):
-            buf = self.embedders.dispatch_packed(crops)
+            buf = self.embedders.dispatch_crop_embed(
+                dev_stack, jnp.asarray(frame_idx),
+                jnp.asarray(crop_boxes))
             pe = PendingEmbed(ready, tight_boxes, dev_packed=buf,
                               nbytes=int(buf.shape[0]))
         else:
+            from facerec_tpu.ops.crops import crop_resize_dispatch
+
+            crops = crop_resize_dispatch(
+                dev_stack, jnp.asarray(frame_idx),
+                jnp.asarray(crop_boxes), FACE_IMAGE_SIZE)
             all_emb = {name: vecs[:n_real]
                        for name, vecs in self.embedders(crops).items()}
             pe = PendingEmbed(ready, tight_boxes, host_embeddings=all_emb)
@@ -460,13 +534,15 @@ class ShardConsumer:
         raise KeyError(f"frame {frame} left the pixel window")
 
     def _trim_window(self) -> None:
-        """Drop pixel-window blocks no pending face can reference any
-        more (always keeping the newest block — the next block's flush
-        may crop from it)."""
+        """Drop pixel-window blocks that no pending face and no queued
+        flush plan can reference any more (always keeping the newest
+        block — the next block's flush may crop from it)."""
         if not self.pixel_window:
             return
         last = max(self.pixel_window)
-        min_keep = min((p.frame for p in self.pending), default=last)
+        refs = [p.frame for p in self.pending]
+        refs.extend(p.frame for plan in self._plans for p in plan.ready)
+        min_keep = min(refs, default=last)
         for b in sorted(self.pixel_window):
             if b >= last:
                 break
@@ -650,8 +726,8 @@ def run_extract(
         fused = FusedBlockStep(detector, tracker_cfg)
 
     # per-phase wall time: where an underperforming e2e run spends it
-    phase = {"decode": 0.0, "dispatch": 0.0, "fetch": 0.0,
-             "consume": 0.0}
+    phase = {"decode": 0.0, "dispatch": 0.0, "upload": 0.0,
+             "fetch": 0.0, "consume": 0.0, "flush_dispatch": 0.0}
     block_iter = reader.blocks(start_frame, end_overlap,
                                cfg.block_frames)
 
@@ -674,7 +750,9 @@ def run_extract(
             frames = np.concatenate(
                 [frames, np.repeat(frames[-1:], cfg.block_frames - real,
                                    axis=0)])
+        t_up = time.perf_counter()
         dev_frames = jnp.asarray(frames)
+        phase["upload"] += time.perf_counter() - t_up
         if fused is not None:
             packed, scene_state, tracker_state = fused(
                 dev_frames, scene_state, tracker_state, frame0)
@@ -717,13 +795,8 @@ def run_extract(
         consumer.feed_block(blk["frame0"], frames, flags_np, emit_host,
                             det_valid, landmarks, dev_frames=dev,
                             flush=False)
-        pe = consumer.begin_flush(
+        consumer.plan_flush(
             consumer.block_watermark(blk["frame0"], real))
-        if pe is not None:
-            if pe.host_embeddings is not None:
-                consumer.complete_flush(pe)
-            else:
-                deferred.append(pe)
         blocks_done += 1
         consumed_through = blk["frame0"] + real
         consumed_state = (blk["scene_state"], blk["tracker_state"])
@@ -784,6 +857,16 @@ def run_extract(
             off += n
         assert off == buf.size, (off, buf.size)
         inflight = None
+        # ONE crop+embed dispatch for every consumed block's flush —
+        # per-block device calls would each pay the link round trip
+        t_fd = time.perf_counter()
+        pe = consumer.dispatch_flush_plans()
+        phase["flush_dispatch"] += time.perf_counter() - t_fd
+        if pe is not None:
+            if pe.host_embeddings is not None:
+                consumer.complete_flush(pe)
+            else:
+                deferred.append(pe)
         phase["consume"] += time.perf_counter() - t0
 
     def maybe_checkpoint():

@@ -281,16 +281,121 @@ def run_extract_mesh(
     counters: List[ExtractCounters] = []
 
     def finish_span(i: int) -> None:
-        """Close a span as soon as its frames run out: its .done marker
-        makes a crashed run's restart skip it (reference semantics —
-        each array shard is individually re-runnable,
-        scripts/extract.sh:41-53)."""
+        """Close a span once all its blocks are consumed and flushed
+        (after the pipeline drain): its .done marker makes a crashed
+        run's restart skip it (reference semantics — each array shard
+        is individually re-runnable, scripts/extract.sh:41-53)."""
         counters.append(consumers[i].finish())
         consumers[i] = None
         if os.path.exists(ckpt_paths[i]):
             os.remove(ckpt_paths[i])
 
-    steps_done = 0
+    # Batched-fetch pipeline, mirroring the serial loop: every `group`
+    # steps the staged step payloads AND the previous group's deferred
+    # embedding buffers concatenate on device into ONE device→host
+    # transfer, started async and collected a group later; each span's
+    # group of flush plans dispatches as ONE crop+embed call.  On
+    # high-latency links every host↔device interaction pays the RPC
+    # round trip, so the interaction count per group — not bytes —
+    # bounds throughput (docs/DESIGN.md "Group-batched fetches").
+    group = max(1, cfg.fetch_every_blocks)
+    if cfg.checkpoint_every_blocks > 0:
+        group = min(group, cfg.checkpoint_every_blocks)
+
+    staged: List[dict] = []      # dispatched steps awaiting fetch
+    deferred: List[tuple] = []   # (span_i, PendingEmbed) awaiting fetch
+    inflight = None
+    steps_done = 0               # dispatched
+    steps_consumed = 0
+    last_ckpt = 0
+    last_consumed: Optional[dict] = None
+
+    def consume_step(st, buf) -> None:
+        nonlocal steps_consumed, last_consumed
+        flags_np, emit_host, det_valid, landmarks = step.unpack(buf)
+        for i in range(n):
+            real = st["reals"][i]
+            if real == 0 or consumers[i] is None:
+                continue
+            emit_i = type(emit_host)(*(f[i][:real] for f in emit_host))
+            consumers[i].feed_block(
+                int(st["frame0s"][i]), st["blocks"][i][:real],
+                flags_np[i][:real], emit_i, det_valid[i][:real],
+                landmarks[i][:real], dev_frames=st["dev"][i, :real],
+                flush=False)
+            consumers[i].plan_flush(consumers[i].block_watermark(
+                int(st["frame0s"][i]), real))
+        steps_consumed += 1
+        last_consumed = st
+
+    def start_fetch() -> None:
+        nonlocal inflight, staged, deferred
+        bufs = [pe.dev_packed for _i, pe in deferred]
+        bufs.extend(st["packed"] for st in staged)
+        if not bufs:
+            return
+        joined = bufs[0] if len(bufs) == 1 else jnp.concatenate(bufs)
+        try:
+            joined.copy_to_host_async()
+        except AttributeError:
+            pass
+        inflight = {"joined": joined, "deferred": deferred,
+                    "steps": staged}
+        staged, deferred = [], []
+
+    def collect_fetch() -> None:
+        nonlocal inflight
+        buf = np.asarray(inflight["joined"])
+        off = 0
+        for i, pe in inflight["deferred"]:
+            consumers[i].complete_flush(pe, buf[off:off + pe.nbytes])
+            off += pe.nbytes
+        for st in inflight["steps"]:
+            m = int(st["packed"].shape[0])
+            consume_step(st, buf[off:off + m])
+            off += m
+        assert off == buf.size, (off, buf.size)
+        inflight = None
+        # one crop+embed dispatch PER SPAN for the whole group
+        for i in range(n):
+            if consumers[i] is None:
+                continue
+            pe = consumers[i].dispatch_flush_plans()
+            if pe is not None:
+                if pe.host_embeddings is not None:
+                    consumers[i].complete_flush(pe)
+                else:
+                    deferred.append((i, pe))
+
+    def maybe_checkpoint() -> None:
+        nonlocal last_ckpt, deferred
+        if (cfg.checkpoint_every_blocks <= 0 or last_consumed is None
+                or steps_consumed - last_ckpt
+                < cfg.checkpoint_every_blocks):
+            return
+        # per-span block-granular checkpoints with the same
+        # drained-state semantics as the serial loop: complete every
+        # dispatched flush, snapshot as of the last CONSUMED step
+        # (dispatch runs a group ahead of consumption)
+        for i, pe in deferred:
+            if consumers[i] is not None:
+                consumers[i].complete_flush(pe)
+        deferred = []
+        st = last_consumed
+        for i in range(n):
+            if consumers[i] is None or st["reals"][i] == 0:
+                continue
+            span_scene = jax.tree.map(lambda x: np.asarray(x[i]),
+                                      st["scene_state"])
+            span_tracker = jax.tree.map(lambda x: np.asarray(x[i]),
+                                        st["tracker_state"])
+            ckpt.save_checkpoint(
+                ckpt_paths[i],
+                next_frame=int(st["frame0s"][i]) + st["reals"][i],
+                scene_state=span_scene, tracker_state=span_tracker,
+                **consumers[i].snapshot())
+        last_ckpt = steps_consumed
+
     while not all(exhausted):
         reals = [0] * n
         frame0s = np.zeros(n, np.int32)
@@ -298,12 +403,11 @@ def run_extract_mesh(
         for i in range(n):
             nxt = None if exhausted[i] else next(iters[i], None)
             if nxt is None:
-                # span finished: keep feeding its last (padded) block;
-                # the carried state for this span is never read again
-                if not exhausted[i]:
-                    exhausted[i] = True
-                    if consumers[i] is not None:
-                        finish_span(i)
+                # span ran out: keep feeding its last (padded) block;
+                # the carried state for this span is never read again,
+                # and its consumer finishes at the drain below (its
+                # final blocks may still be staged or in flight)
+                exhausted[i] = True
                 blocks.append(last_frames[i])
                 continue
             frame0, frames = nxt
@@ -315,43 +419,36 @@ def run_extract_mesh(
             frame0s[i] = frame0
             last_frames[i] = frames
             blocks.append(frames)
-        if all(exhausted):
+        if all(exhausted) and not any(reals):
             break
 
+        dev_all = jnp.asarray(np.stack(blocks))
         packed, scene_state, tracker_state = step(
-            det_vars, jnp.asarray(np.stack(blocks)), scene_state,
-            tracker_state, jnp.asarray(frame0s))
-
-        # one device→host transfer for all spans' host payload
-        flags_np, emit_host, det_valid, landmarks = step.unpack(
-            np.asarray(packed))
-        for i in range(n):
-            real = reals[i]
-            if real == 0:
-                continue
-            emit_i = type(emit_host)(*(f[i][:real] for f in emit_host))
-            consumers[i].feed_block(
-                int(frame0s[i]), blocks[i][:real], flags_np[i][:real],
-                emit_i, det_valid[i][:real], landmarks[i][:real])
-
+            det_vars, dev_all, scene_state, tracker_state,
+            jnp.asarray(frame0s))
+        staged.append({"packed": packed, "blocks": blocks,
+                       "frame0s": frame0s, "reals": reals,
+                       "dev": dev_all, "scene_state": scene_state,
+                       "tracker_state": tracker_state})
         steps_done += 1
-        if (cfg.checkpoint_every_blocks > 0
-                and steps_done % cfg.checkpoint_every_blocks == 0):
-            # per-span block-granular checkpoints, same drained-state
-            # semantics as the serial loop (the mesh loop is already
-            # drained here: every dispatched block is consumed)
-            for i in range(n):
-                if consumers[i] is None or reals[i] == 0:
-                    continue
-                span_scene = jax.tree.map(lambda x: np.asarray(x[i]),
-                                          scene_state)
-                span_tracker = jax.tree.map(lambda x: np.asarray(x[i]),
-                                            tracker_state)
-                ckpt.save_checkpoint(
-                    ckpt_paths[i],
-                    next_frame=int(frame0s[i]) + reals[i],
-                    scene_state=span_scene, tracker_state=span_tracker,
-                    **consumers[i].snapshot())
+        if len(staged) >= group:
+            if inflight is not None:
+                collect_fetch()
+                maybe_checkpoint()
+            start_fetch()
+            if cfg.checkpoint_every_blocks > 0 and inflight is not None:
+                # checkpointed runs trade the fetch/compute overlap for
+                # promptly-bounded loss: collect and snapshot every
+                # cadence instead of lagging one group behind
+                collect_fetch()
+                maybe_checkpoint()
+
+    # drain: collect the in-flight group, then fetch the remainder
+    while inflight is not None or staged or deferred:
+        if inflight is not None:
+            collect_fetch()
+            maybe_checkpoint()
+        start_fetch()
 
     for i in range(n):
         if consumers[i] is not None:

@@ -374,3 +374,40 @@ def test_odd_geometry_film(tmp_path):
     trajs = list(open(f"{out}/99-data/trajectories/"
                       "trajectories_99_0-40.jsonl"))
     assert trajs
+
+
+def test_one_flush_dispatch_per_fetch_group(clip, tmp_path):
+    """The production loop must batch every fetch group's face flushes
+    into ONE crop+embed dispatch — per-block device calls each pay a
+    full link round trip on high-latency hosts (docs/DESIGN.md
+    "Group-batched fetches").  Regression-pins the interaction count:
+    dispatches ≤ ceil(blocks/group) + 1 (the +1 is the final drain)."""
+
+    class CountingBank(DeferredStubBank):
+        def __init__(self):
+            super().__init__()
+            self.crop_embed_calls = 0
+            self.packed_calls = 0
+
+        def dispatch_crop_embed(self, stack, frame_idx, crop_boxes):
+            self.crop_embed_calls += 1
+            return super().dispatch_crop_embed(stack, frame_idx,
+                                               crop_boxes)
+
+        def dispatch_packed(self, crops):
+            self.packed_calls += 1
+            return super().dispatch_packed(crops)
+
+    bank = CountingBank()
+    group = 4
+    cfg = ExtractConfig(block_frames=8, max_detections=8, max_tracks=16,
+                        save_images=False, fetch_every_blocks=group)
+    run_extract(clip.path, cfg, str(tmp_path / "out"),
+                detector=ScriptedDetector(clip, max_detections=8),
+                embedders=bank)
+    n_blocks = -(-65 // 8)   # 60 frames + 5 overlap, blocks of 8
+    max_groups = -(-n_blocks // group) + 1
+    assert 0 < bank.crop_embed_calls <= max_groups, (
+        bank.crop_embed_calls, max_groups)
+    # every embed came through the batched crop+embed entry point
+    assert bank.packed_calls == bank.crop_embed_calls

@@ -86,6 +86,7 @@ class FaceDetector(nn.Module):
 
     fpn_features: int = 64
     num_anchors: int = 2
+    backbone_width: int = 96
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -99,13 +100,19 @@ class FaceDetector(nn.Module):
         # bijective), but with no reshape/transpose: inside the fused
         # block program the s2d formulation cost two layout copies of
         # the full stem input (~0.55 ms/64-frame block on v5e).
-        x = ConvBN(96, 12, 4, dtype=d, name="stem")(x, train)
-        x = ResBlock(96, 2, dtype=d, name="c3_1")(x, train)
-        c3 = ResBlock(96, 1, dtype=d, name="c3_2")(x, train)
-        x = ResBlock(192, 2, dtype=d, name="c4_1")(c3, train)
-        c4 = ResBlock(192, 1, dtype=d, name="c4_2")(x, train)
-        x = ResBlock(384, 2, dtype=d, name="c5_1")(c4, train)
-        c5 = ResBlock(384, 1, dtype=d, name="c5_2")(x, train)
+        # backbone_width scales every backbone level (96/192/384 at the
+        # default 96): the mid-level 3x3 convs are issue-bound at their
+        # small spatial shapes (36-55 effective TFLOPS regardless of
+        # layout, docs/DESIGN.md), so device-time wins there come from
+        # fewer FLOPs, gated on selfcheck quality (tools/selfcheck.py).
+        w = self.backbone_width
+        x = ConvBN(w, 12, 4, dtype=d, name="stem")(x, train)
+        x = ResBlock(w, 2, dtype=d, name="c3_1")(x, train)
+        c3 = ResBlock(w, 1, dtype=d, name="c3_2")(x, train)
+        x = ResBlock(2 * w, 2, dtype=d, name="c4_1")(c3, train)
+        c4 = ResBlock(2 * w, 1, dtype=d, name="c4_2")(x, train)
+        x = ResBlock(4 * w, 2, dtype=d, name="c5_1")(c4, train)
+        c5 = ResBlock(4 * w, 1, dtype=d, name="c5_2")(x, train)
 
         # FPN top-down
         f = self.fpn_features
@@ -254,10 +261,10 @@ class DetectorHarness:
 
     @classmethod
     def create(cls, rng_seed: int = 0, dtype: Any = jnp.float32,
-               **kwargs) -> "DetectorHarness":
+               backbone_width: int = 96, **kwargs) -> "DetectorHarness":
         from facerec_tpu.models.facenet import cast_float_tree
 
-        model = FaceDetector(dtype=dtype)
+        model = FaceDetector(dtype=dtype, backbone_width=backbone_width)
         size = kwargs.get("input_size", (512, 512))
         variables = model.init(
             jax.random.PRNGKey(rng_seed),

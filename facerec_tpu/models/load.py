@@ -110,7 +110,19 @@ def load_detector_harness(path: str, dtype: Any = None,
             f"Detector weights not found: {path!r} is not an orbax "
             f"checkpoint directory")
     d = dtype or jnp.float32
-    model = FaceDetector(dtype=d)
+    # The backbone width is a property of the checkpoint (stem kernel
+    # is (12, 12, 3, width)), not a runtime knob: restore raw, infer,
+    # then shape-check against a matching-width init template.
+    raw = W.load_params(os.path.abspath(path))
+    try:
+        stems = [l for l in jax.tree.leaves(raw["params"]["stem"])
+                 if getattr(l, "ndim", 0) == 4]
+        width = int(stems[0].shape[-1])
+    except (KeyError, IndexError) as e:
+        raise WeightsNotFoundError(
+            f"Detector checkpoint {path!r} has no recognizable stem "
+            f"parameters: {e!r}")
+    model = FaceDetector(dtype=d, backbone_width=width)
     # Parameter shapes are spatial-size independent (fully
     # convolutional), so a small init suffices as the restore template.
     template = model.init(jax.random.PRNGKey(0),

@@ -34,7 +34,8 @@ import numpy as np
 
 
 def train_detector(steps: int, batch: int, input_size, deploy_hw,
-                   face_size, seed: int = 0, log_every: int = 50):
+                   face_size, seed: int = 0, log_every: int = 50,
+                   backbone_width: int = 96):
     """Train FaceDetector from scratch on synthetic frames processed
     through the DEPLOY path.
 
@@ -57,8 +58,9 @@ def train_detector(steps: int, batch: int, input_size, deploy_hw,
     import jax
 
     rng = np.random.default_rng(seed)
-    trainer = DetectorTrainer(FaceDetector(), input_size=input_size,
-                              learning_rate=1e-3)
+    trainer = DetectorTrainer(
+        FaceDetector(backbone_width=backbone_width),
+        input_size=input_size, learning_rate=1e-3)
     variables, opt_state = trainer.init()
     losses = []
     ih, iw = input_size
@@ -221,6 +223,10 @@ def main(argv=None):
     parser.add_argument("--film-frames", type=int, default=240)
     parser.add_argument("--face-threshold", type=float, default=0.9)
     parser.add_argument("--detector-size", type=int, default=512)
+    parser.add_argument("--backbone-width", type=int, default=96,
+                        help="detector backbone width (96/192/384 at "
+                             "the default 96); A/B slimmer backbones "
+                             "against the quality gates")
     parser.add_argument("--assert", dest="assert_gates",
                         action="store_true",
                         help="fail (exit 1) when quality gates regress: "
@@ -265,9 +271,9 @@ def main(argv=None):
 
     t0 = time.time()
     print("=== training detector on synthetic faces ===", flush=True)
-    params, det_losses = train_detector(args.train_steps, args.batch,
-                                        size, deploy_hw=film_hw,
-                                        face_size=film_faces)
+    params, det_losses = train_detector(
+        args.train_steps, args.batch, size, deploy_hw=film_hw,
+        face_size=film_faces, backbone_width=args.backbone_width)
     weights_path = os.path.join(args.out, "detector.npz")
     save_params(weights_path, params)
 
@@ -291,7 +297,8 @@ def main(argv=None):
                            2 * args.film_frames // 3), n_faces=2,
                      identities=k)
     detector = DetectorHarness(
-        model=FaceDetector(), variables=load_params(weights_path, params),
+        model=FaceDetector(backbone_width=args.backbone_width),
+        variables=load_params(weights_path, params),
         input_size=size, max_detections=16,
         score_threshold=args.face_threshold, min_face_size=20)
     data_root = os.path.join(args.out, "data")

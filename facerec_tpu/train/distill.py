@@ -238,10 +238,15 @@ def main(argv=None):
     parser.add_argument("--init-weights", default=None,
                         help="warm-start from an existing checkpoint "
                              "(e.g. a WIDER-FACE pretrain)")
+    parser.add_argument("--backbone-width", type=int, default=96,
+                        help="detector backbone width (the checkpoint "
+                             "records it; load_detector_harness infers "
+                             "it back)")
     args = parser.parse_args(argv)
     distill(args.film, args.truth, args.out, args.steps, args.batch,
             long_side=args.long_side, learning_rate=args.lr,
-            init_weights=args.init_weights)
+            init_weights=args.init_weights,
+            model_kwargs={"backbone_width": args.backbone_width})
 
 
 if __name__ == "__main__":

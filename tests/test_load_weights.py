@@ -107,6 +107,24 @@ def test_detector_orbax_roundtrip(tmp_path, rng):
                                rtol=1e-6)
 
 
+def test_detector_slim_width_roundtrip(tmp_path, rng):
+    """A slim-backbone checkpoint restores with its width inferred from
+    the stem kernel — no width flag needed at load time."""
+    h = DetectorHarness.create(input_size=(64, 64), max_detections=4,
+                               score_threshold=0.1, min_face_size=4,
+                               backbone_width=48)
+    path = str(tmp_path / "det48")
+    W.save_params(path, h.variables)
+    h2 = L.load_detector_harness(path, input_size=(64, 64),
+                                 max_detections=4, score_threshold=0.1,
+                                 min_face_size=4)
+    assert h2.model.backbone_width == 48
+    frames = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    a, b = h(jnp.asarray(frames)), h2(jnp.asarray(frames))
+    np.testing.assert_array_equal(np.asarray(a.valid),
+                                  np.asarray(b.valid))
+
+
 def test_detector_load_missing_is_error(tmp_path):
     with pytest.raises(L.WeightsNotFoundError):
         L.load_detector_harness(str(tmp_path / "nope"))

@@ -142,6 +142,7 @@ class FusedBlockStep:
         self._jnp = jnp
         self._jax = jax
         self._spec = None
+        self._grouped = {}       # k -> jitted k-block scan program
 
     def __call__(self, frames, scene_state, tracker_state, frame0: int):
         """→ (packed payload (uint8, device), scene_state,
@@ -160,6 +161,65 @@ class FusedBlockStep:
         from facerec_tpu.runtime.transfer import unpack_tree
 
         return unpack_tree(packed_host, *self._spec)
+
+    def call_grouped(self, frames_flat, scene_state, tracker_state,
+                     frame0: int, k: int, block: int):
+        """Advance k CONSECUTIVE blocks in ONE dispatch: a
+        ``lax.scan`` of the fused block body over the (k·B, H, W, 3)
+        upload.  Identical ops in identical order to k single-block
+        dispatches (the scan body IS the block step), so payload bytes
+        match the per-block path bit for bit — but the host pays one
+        upload + one enqueue per group instead of k of each, the lever
+        on hosts where every interaction costs a link round trip.
+
+        → (packed (k-stacked) payload, scene_state, tracker_state);
+        decode with :meth:`unpack_grouped`."""
+        jnp = self._jnp
+
+        if k not in self._grouped:
+            jax = self._jax
+            from jax import lax
+
+            from facerec_tpu.runtime.transfer import pack_tree, tree_spec
+
+            step = self._step
+
+            def gpayloads(det_vars, frames_flat, scene_state,
+                          tracker_state, frame00):
+                frames = frames_flat.reshape(
+                    (k, block) + frames_flat.shape[1:])
+                f0s = frame00 + jnp.arange(k, dtype=jnp.int32) * block
+
+                def body(carry, xs):
+                    ss, ts = carry
+                    fr, f0 = xs
+                    payload, ss, ts = step(det_vars, fr, ss, ts, f0)
+                    return (ss, ts), payload
+
+                (ss, ts), payloads = lax.scan(
+                    body, (scene_state, tracker_state), (frames, f0s))
+                return payloads, ss, ts
+
+            def gstep(*args):
+                payloads, ss, ts = gpayloads(*args)
+                return pack_tree(payloads), ss, ts
+
+            args = (self.detector.variables, frames_flat, scene_state,
+                    tracker_state, jnp.int32(frame0))
+            shapes, _, _ = self._jax.eval_shape(gpayloads, *args)
+            self._grouped[k] = (jax.jit(gstep), tree_spec(shapes))
+        jitted, _spec = self._grouped[k]
+        return jitted(self.detector.variables, frames_flat, scene_state,
+                      tracker_state, jnp.int32(frame0))
+
+    def unpack_grouped(self, packed_host, k: int):
+        """Fetched k-block buffer → list of k per-block payloads."""
+        from facerec_tpu.runtime.transfer import unpack_tree
+
+        _jitted, spec = self._grouped[k]
+        stacked = unpack_tree(packed_host, *spec)
+        return [self._jax.tree.map(lambda x, i=i: x[i], stacked)
+                for i in range(k)]
 
 
 class EmbedderBank:
@@ -780,6 +840,62 @@ def run_extract(
                 "scene_state": scene_state,
                 "tracker_state": tracker_state}
 
+    def dispatch_group(buf_blocks):
+        """Upload + enqueue a whole fetch group's blocks as ONE
+        dispatch (FusedBlockStep.call_grouped): the scan body is the
+        block step, so payload bytes match k per-block dispatches bit
+        for bit, at 2 host↔device interactions instead of 2k."""
+        nonlocal scene_state, tracker_state
+        b = cfg.block_frames
+        frames_list, reals, frame0s = [], [], []
+        for frame0, frames in buf_blocks:
+            real = len(frames)
+            if real < b:
+                frames = np.concatenate(
+                    [frames, np.repeat(frames[-1:], b - real, axis=0)])
+            frames_list.append(frames)
+            reals.append(real)
+            frame0s.append(frame0)
+        while len(frames_list) < group:
+            # short tail group: pad with repeats of the last block so
+            # one compiled program serves every group; padded rows are
+            # never consumed and the carried state is never used again
+            frames_list.append(frames_list[-1])
+            reals.append(0)
+            frame0s.append(frame0s[-1] + b)
+        t_up = time.perf_counter()
+        dev = jnp.asarray(np.concatenate(frames_list))
+        phase["upload"] += time.perf_counter() - t_up
+        packed, scene_state, tracker_state = fused.call_grouped(
+            dev, scene_state, tracker_state, frame0s[0], group, b)
+        return {"k": group, "frame0s": frame0s, "reals": reals,
+                "frames": frames_list, "packed": packed, "dev": dev,
+                "scene_state": scene_state,
+                "tracker_state": tracker_state}
+
+    def consume_group(g, buf):
+        """Feed a fetched group's k per-block payloads to the shard
+        consumer; per-block flush selection, group-end device state."""
+        nonlocal blocks_done, consumed_through, consumed_state
+        payloads = fused.unpack_grouped(buf, g["k"])
+        b = cfg.block_frames
+        for i in range(g["k"]):
+            real = g["reals"][i]
+            if real == 0:
+                continue
+            flags_np, emit_host, det_valid, landmarks = payloads[i]
+            consumer.feed_block(
+                g["frame0s"][i], g["frames"][i][:real],
+                flags_np[:real],
+                type(emit_host)(*(f[:real] for f in emit_host)),
+                det_valid[:real], landmarks[:real],
+                dev_frames=g["dev"][i * b:i * b + real], flush=False)
+            consumer.plan_flush(consumer.block_watermark(
+                g["frame0s"][i], real))
+            blocks_done += 1
+            consumed_through = g["frame0s"][i] + real
+        consumed_state = (g["scene_state"], g["tracker_state"])
+
     def consume_block(blk, buf):
         """Feed one block's fetched payload bytes to the shard consumer
         and dispatch its (deferred) face flush."""
@@ -853,7 +969,10 @@ def run_extract(
             off += pe.nbytes
         for blk in inflight["blocks"]:
             n = int(blk["packed"].shape[0])
-            consume_block(blk, buf[off:off + n])
+            if "k" in blk:
+                consume_group(blk, buf[off:off + n])
+            else:
+                consume_block(blk, buf[off:off + n])
             off += n
         assert off == buf.size, (off, buf.size)
         inflight = None
@@ -888,6 +1007,10 @@ def run_extract(
         last_ckpt_blocks = blocks_done
 
     last_ckpt_blocks = 0
+    # one dispatch per GROUP (scan over blocks) when the detector is
+    # fused-compatible; host-side detectors keep per-block dispatch
+    use_grouped = fused is not None and group > 1
+    group_buf: List[tuple] = []
     while True:
         t0 = time.perf_counter()
         nxt = next(block_iter, None)
@@ -895,13 +1018,24 @@ def run_extract(
         if nxt is None:
             break
         t0 = time.perf_counter()
-        staged.append(dispatch_block(nxt))
+        if use_grouped:
+            group_buf.append(nxt)
+            if len(group_buf) == group:
+                staged.append(dispatch_group(group_buf))
+                group_buf = []
+        else:
+            staged.append(dispatch_block(nxt))
         phase["dispatch"] += time.perf_counter() - t0
-        if len(staged) >= group:
+        if (staged and
+                (use_grouped or len(staged) >= group)):
             if inflight is not None:
                 collect_fetch()
                 maybe_checkpoint()
             start_fetch()
+    if group_buf:
+        t0 = time.perf_counter()
+        staged.append(dispatch_group(group_buf))
+        phase["dispatch"] += time.perf_counter() - t0
     # drain: collect the in-flight group, then fetch the remainder
     # (tail blocks and/or the last blocks' deferred flushes)
     while inflight is not None or staged or deferred:

@@ -411,3 +411,72 @@ def test_one_flush_dispatch_per_fetch_group(clip, tmp_path):
         bank.crop_embed_calls, max_groups)
     # every embed came through the batched crop+embed entry point
     assert bank.packed_calls == bank.crop_embed_calls
+
+
+def test_grouped_dispatch_byte_identity(clip, tmp_path):
+    """With a fused-compatible detector the loop dispatches ONE scan
+    program per fetch group (FusedBlockStep.call_grouped); its output
+    must match the per-block path byte for byte, including the padded
+    short tail group."""
+    from facerec_tpu.video.synth import PureScriptedDetector
+
+    outs = {}
+    for g in (1, 3, 64):
+        out = str(tmp_path / f"g{g}")
+        cfg = ExtractConfig(block_frames=16, max_detections=8,
+                            max_tracks=16, save_images=False,
+                            fetch_every_blocks=g)
+        run_extract(clip.path, cfg, out,
+                    detector=PureScriptedDetector(clip, max_detections=8),
+                    embedders=DeferredStubBank())
+        outs[g] = f"{out}/125261-data"
+    _compare_shard_files(outs[1], outs[3])
+    _compare_shard_files(outs[1], outs[64])
+
+
+def test_grouped_dispatch_crash_resume(clip, tmp_path, monkeypatch):
+    """Grouped dispatch + checkpoints: a run crashed mid-film resumes
+    to byte-identical output (group-end device state is the consumed
+    state)."""
+    from facerec_tpu.pipeline import extract as ex
+    from facerec_tpu.video.synth import PureScriptedDetector
+
+    def cfg(ck):
+        return ExtractConfig(block_frames=8, max_detections=8,
+                             max_tracks=16, save_images=False,
+                             fetch_every_blocks=2,
+                             checkpoint_every_blocks=ck)
+
+    clean = str(tmp_path / "clean")
+    run_extract(clip.path, cfg(0), clean,
+                detector=PureScriptedDetector(clip, max_detections=8),
+                embedders=DeferredStubBank())
+
+    real_open = ex.open_block_reader
+
+    def flaky_open(*a, **kw):
+        r = real_open(*a, **kw)
+        real_blocks = r.blocks
+
+        def blocks(beg, end, block):
+            for k, item in enumerate(real_blocks(beg, end, block)):
+                if k == 5:
+                    raise RuntimeError("injected crash")
+                yield item
+
+        r.blocks = blocks
+        return r
+
+    crashed = str(tmp_path / "crashed")
+    monkeypatch.setattr(ex, "open_block_reader", flaky_open)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_extract(clip.path, cfg(2), crashed,
+                    detector=PureScriptedDetector(clip, max_detections=8),
+                    embedders=DeferredStubBank())
+    monkeypatch.setattr(ex, "open_block_reader", real_open)
+    assert any(f.endswith(".ckpt")
+               for f in os.listdir(f"{crashed}/125261-data"))
+    run_extract(clip.path, cfg(2), crashed,
+                detector=PureScriptedDetector(clip, max_detections=8),
+                embedders=DeferredStubBank())
+    _compare_shard_files(f"{clean}/125261-data", f"{crashed}/125261-data")

@@ -116,9 +116,11 @@ class MeshBlockStep:
             return pack_tree(payload), scene_state, tracker_state
 
         self._payload_fn = payload_fn
+        self._sharded = sharded
         self._jitted = jax.jit(step)
         self._jax = jax
         self._spec = None
+        self._grouped = {}       # k -> (jitted scan program, spec)
 
     def __call__(self, det_vars, frames, scene_state, tracker_state,
                  frame0):
@@ -138,6 +140,61 @@ class MeshBlockStep:
         from facerec_tpu.runtime.transfer import unpack_tree
 
         return unpack_tree(packed_host, *self._spec)
+
+    def call_grouped(self, det_vars, frames, scene_state, tracker_state,
+                     frame0s, k: int):
+        """Advance every span by k consecutive blocks in ONE dispatch:
+        a ``lax.scan`` of the sharded step over the (k, n, B, H, W, 3)
+        upload with explicit (k, n) frame starts.  Identical ops in
+        identical order to k lockstep dispatches, so payload bytes
+        match the per-step path bit for bit — at one upload + one
+        enqueue per group instead of k of each."""
+        import jax.numpy as jnp
+
+        if k not in self._grouped:
+            jax = self._jax
+            from jax import lax
+
+            from facerec_tpu.runtime.transfer import pack_tree, tree_spec
+
+            sharded = self._sharded
+
+            def gpayloads(det_vars, frames, scene_state, tracker_state,
+                          frame0s):
+                def body(carry, xs):
+                    ss, ts = carry
+                    fr, f0 = xs
+                    flags, det, emit, ss, ts = sharded(
+                        det_vars, fr, ss, ts, f0)
+                    return (ss, ts), (flags, emit, det.valid,
+                                      det.landmarks)
+
+                (ss, ts), payloads = lax.scan(
+                    body, (scene_state, tracker_state),
+                    (frames, frame0s))
+                return payloads, ss, ts
+
+            def gstep(*args):
+                payloads, ss, ts = gpayloads(*args)
+                return pack_tree(payloads), ss, ts
+
+            args = (det_vars, frames, scene_state, tracker_state,
+                    frame0s)
+            shapes, _, _ = self._jax.eval_shape(gpayloads, *args)
+            self._grouped[k] = (self._jax.jit(gstep), tree_spec(shapes))
+        jitted, _spec = self._grouped[k]
+        return jitted(det_vars, frames, scene_state, tracker_state,
+                      frame0s)
+
+    def unpack_grouped(self, packed_host, k: int):
+        """Fetched k-step buffer → list of k per-step payloads, each
+        with the (n, ...) span-leading axis."""
+        from facerec_tpu.runtime.transfer import unpack_tree
+
+        _jitted, spec = self._grouped[k]
+        stacked = unpack_tree(packed_host, *spec)
+        return [self._jax.tree.map(lambda x, i=i: x[i], stacked)
+                for i in range(k)]
 
 
 def build_mesh_step(mesh, detector, tracker_cfg: TrackerConfig
@@ -309,24 +366,81 @@ def run_extract_mesh(
     steps_consumed = 0
     last_ckpt = 0
     last_consumed: Optional[dict] = None
+    # one dispatch per GROUP (lax.scan of the sharded step over k
+    # lockstep steps) — the mesh detector is always a pure function,
+    # so grouping needs only group > 1
+    use_grouped = group > 1
+    group_buf: List[dict] = []
 
-    def consume_step(st, buf) -> None:
-        nonlocal steps_consumed, last_consumed
-        flags_np, emit_host, det_valid, landmarks = step.unpack(buf)
+    def dispatch_group(steps_buf):
+        """Upload + enqueue a whole fetch group of lockstep steps as
+        ONE dispatch (MeshBlockStep.call_grouped); short tail groups
+        pad with repeats of the last step (padded rows are never
+        consumed, the carried state is never used again)."""
+        nonlocal scene_state, tracker_state
+        steps_buf = list(steps_buf)
+        while len(steps_buf) < group:
+            last = steps_buf[-1]
+            steps_buf.append({"blocks": last["blocks"],
+                              "frame0s": last["frame0s"] + b,
+                              "reals": [0] * n})
+        frames_np = np.stack([np.stack(sd["blocks"])
+                              for sd in steps_buf])
+        f0s = np.stack([sd["frame0s"] for sd in steps_buf]).astype(
+            np.int32)
+        dev = jnp.asarray(frames_np)
+        packed, scene_state, tracker_state = step.call_grouped(
+            det_vars, dev, scene_state, tracker_state,
+            jnp.asarray(f0s), group)
+        return {"k": group, "steps": steps_buf, "packed": packed,
+                "dev": dev, "scene_state": scene_state,
+                "tracker_state": tracker_state}
+
+    def _feed_span_blocks(blocks, frame0s, reals, flags_np, emit_host,
+                          det_valid, landmarks, dev) -> None:
         for i in range(n):
-            real = st["reals"][i]
+            real = reals[i]
             if real == 0 or consumers[i] is None:
                 continue
             emit_i = type(emit_host)(*(f[i][:real] for f in emit_host))
             consumers[i].feed_block(
-                int(st["frame0s"][i]), st["blocks"][i][:real],
-                flags_np[i][:real], emit_i, det_valid[i][:real],
-                landmarks[i][:real], dev_frames=st["dev"][i, :real],
-                flush=False)
+                int(frame0s[i]), blocks[i][:real], flags_np[i][:real],
+                emit_i, det_valid[i][:real], landmarks[i][:real],
+                dev_frames=dev[i, :real], flush=False)
             consumers[i].plan_flush(consumers[i].block_watermark(
-                int(st["frame0s"][i]), real))
+                int(frame0s[i]), real))
+
+    def consume_step(st, buf) -> None:
+        nonlocal steps_consumed, last_consumed
+        flags_np, emit_host, det_valid, landmarks = step.unpack(buf)
+        _feed_span_blocks(st["blocks"], st["frame0s"], st["reals"],
+                          flags_np, emit_host, det_valid, landmarks,
+                          st["dev"])
         steps_consumed += 1
         last_consumed = st
+
+    def consume_group(g, buf) -> None:
+        """Feed a fetched k-step group; per-span/per-block flush
+        selection, group-end device state for checkpoints."""
+        nonlocal steps_consumed, last_consumed
+        payloads = step.unpack_grouped(buf, g["k"])
+        # per-span frame watermark of the group (for checkpoints):
+        # the last step in which the span still had real frames
+        ck_frame0s = np.zeros(n, np.int32)
+        ck_reals = [0] * n
+        for j, sd in enumerate(g["steps"]):
+            flags_np, emit_host, det_valid, landmarks = payloads[j]
+            _feed_span_blocks(sd["blocks"], sd["frame0s"], sd["reals"],
+                              flags_np, emit_host, det_valid, landmarks,
+                              g["dev"][j])
+            steps_consumed += 1
+            for i in range(n):
+                if sd["reals"][i] > 0:
+                    ck_frame0s[i] = sd["frame0s"][i]
+                    ck_reals[i] = sd["reals"][i]
+        last_consumed = {"frame0s": ck_frame0s, "reals": ck_reals,
+                         "scene_state": g["scene_state"],
+                         "tracker_state": g["tracker_state"]}
 
     def start_fetch() -> None:
         nonlocal inflight, staged, deferred
@@ -352,7 +466,10 @@ def run_extract_mesh(
             off += pe.nbytes
         for st in inflight["steps"]:
             m = int(st["packed"].shape[0])
-            consume_step(st, buf[off:off + m])
+            if "k" in st:
+                consume_group(st, buf[off:off + m])
+            else:
+                consume_step(st, buf[off:off + m])
             off += m
         assert off == buf.size, (off, buf.size)
         inflight = None
@@ -422,26 +539,38 @@ def run_extract_mesh(
         if all(exhausted) and not any(reals):
             break
 
-        dev_all = jnp.asarray(np.stack(blocks))
-        packed, scene_state, tracker_state = step(
-            det_vars, dev_all, scene_state, tracker_state,
-            jnp.asarray(frame0s))
-        staged.append({"packed": packed, "blocks": blocks,
-                       "frame0s": frame0s, "reals": reals,
-                       "dev": dev_all, "scene_state": scene_state,
-                       "tracker_state": tracker_state})
-        steps_done += 1
-        if len(staged) >= group:
-            if inflight is not None:
-                collect_fetch()
-                maybe_checkpoint()
-            start_fetch()
-            if cfg.checkpoint_every_blocks > 0 and inflight is not None:
-                # checkpointed runs trade the fetch/compute overlap for
-                # promptly-bounded loss: collect and snapshot every
-                # cadence instead of lagging one group behind
-                collect_fetch()
-                maybe_checkpoint()
+        if use_grouped:
+            group_buf.append({"blocks": blocks, "frame0s": frame0s,
+                              "reals": reals})
+            steps_done += 1
+            if len(group_buf) < group:
+                continue
+            staged.append(dispatch_group(group_buf))
+            group_buf = []
+        else:
+            dev_all = jnp.asarray(np.stack(blocks))
+            packed, scene_state, tracker_state = step(
+                det_vars, dev_all, scene_state, tracker_state,
+                jnp.asarray(frame0s))
+            staged.append({"packed": packed, "blocks": blocks,
+                           "frame0s": frame0s, "reals": reals,
+                           "dev": dev_all, "scene_state": scene_state,
+                           "tracker_state": tracker_state})
+            steps_done += 1
+            if len(staged) < group:
+                continue
+        if inflight is not None:
+            collect_fetch()
+            maybe_checkpoint()
+        start_fetch()
+        if cfg.checkpoint_every_blocks > 0 and inflight is not None:
+            # checkpointed runs trade the fetch/compute overlap for
+            # promptly-bounded loss: collect and snapshot every
+            # cadence instead of lagging one group behind
+            collect_fetch()
+            maybe_checkpoint()
+    if group_buf:
+        staged.append(dispatch_group(group_buf))
 
     # drain: collect the in-flight group, then fetch the remainder
     while inflight is not None or staged or deferred:

@@ -260,9 +260,12 @@ class EmbedderBank:
 
         from facerec_tpu.ops.crops import crop_resize
 
-        def packed_crop_embed(backbone, bottlenecks, stack, frame_idx,
-                              crop_boxes):
-            crops = crop_resize(stack, frame_idx, crop_boxes,
+        def packed_crop_embed(backbone, bottlenecks, stack, meta):
+            # meta packs [frame_idx | x1 y1 x2 y2] as one (N, 5) f32
+            # upload — two separate small uploads would each pay a
+            # link round trip (frame indices are < 2^24, f32-exact)
+            frame_idx = meta[:, 0].astype(jnp.int32)
+            crops = crop_resize(stack, frame_idx, meta[:, 1:],
                                 FACE_IMAGE_SIZE)
             return packed_embed(backbone, bottlenecks, crops)
 
@@ -299,18 +302,26 @@ class EmbedderBank:
 
     def dispatch_crop_embed(self, stack, frame_idx, crop_boxes):
         """Fused crop + all-checkpoint embed as ONE device dispatch
-        (crops never reach the host — JPEGs come from the host pixel
-        window).  Subclasses without the fused program fall back to
-        crop dispatch + :meth:`dispatch_packed` (two enqueues)."""
+        with ONE metadata upload (crops never reach the host — JPEGs
+        come from the host pixel window).  ``frame_idx``/``crop_boxes``
+        are host numpy arrays.  Subclasses without the fused program
+        fall back to crop dispatch + :meth:`dispatch_packed`."""
+        import jax.numpy as jnp
+
         fused = getattr(self, "_packed_crop_embed", None)
         if fused is not None:
+            meta = np.concatenate(
+                [np.asarray(frame_idx, np.float32)[:, None],
+                 np.asarray(crop_boxes, np.float32)], axis=1)
             return fused(self.pooled.backbone_stack,
-                         self.pooled.bottlenecks, stack, frame_idx,
-                         crop_boxes)
+                         self.pooled.bottlenecks, stack,
+                         jnp.asarray(meta))
         from facerec_tpu.ops.crops import crop_resize_dispatch
 
-        crops = crop_resize_dispatch(stack, frame_idx, crop_boxes,
-                                     FACE_IMAGE_SIZE)
+        crops = crop_resize_dispatch(stack, jnp.asarray(
+            np.asarray(frame_idx, np.int32)),
+            jnp.asarray(np.asarray(crop_boxes, np.float32)),
+            FACE_IMAGE_SIZE)
         return self.dispatch_packed(crops)
 
     def unpack(self, buf: np.ndarray, n: int) -> Dict[str, np.ndarray]:
@@ -547,8 +558,7 @@ class ShardConsumer:
 
         if getattr(self.embedders, "supports_deferred", False):
             buf = self.embedders.dispatch_crop_embed(
-                dev_stack, jnp.asarray(frame_idx),
-                jnp.asarray(crop_boxes))
+                dev_stack, frame_idx, crop_boxes)
             pe = PendingEmbed(ready, tight_boxes, dev_packed=buf,
                               nbytes=int(buf.shape[0]))
         else:

@@ -278,6 +278,10 @@ if __name__ == "__main__":
                         help="synthetic film length for --e2e")
     parser.add_argument("--decode-workers", type=str, default="0,2",
                         help="comma-separated settings to sweep")
+    parser.add_argument("--repeats", type=int, default=2,
+                        help="identical measured runs per setting "
+                             "(best-of-N; the tunnel's per-transfer "
+                             "latency varies several-fold)")
     parser.add_argument("--no-e2e", action="store_true",
                         help="skip the end-to-end line in default mode")
     args = parser.parse_args()
@@ -286,10 +290,12 @@ if __name__ == "__main__":
 
         ensure_platform()
         bench_e2e(args.frames,
-                  [int(w) for w in args.decode_workers.split(",")])
+                  [int(w) for w in args.decode_workers.split(",")],
+                  repeats=args.repeats)
     else:
         # line 1: pure device throughput; line 2: the REAL production
         # loop (decode → device → contract files) on this host
         main()
         if not args.no_e2e:
-            bench_e2e(args.frames, [2], decode_baseline=False)
+            bench_e2e(args.frames, [2], decode_baseline=False,
+                      repeats=args.repeats)

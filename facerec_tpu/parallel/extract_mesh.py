@@ -358,6 +358,12 @@ def run_extract_mesh(
     group = max(1, cfg.fetch_every_blocks)
     if cfg.checkpoint_every_blocks > 0:
         group = min(group, cfg.checkpoint_every_blocks)
+    # never larger than the longest span's block count (a short film
+    # with a large fetch group would otherwise pad and compile a scan
+    # program mostly made of repeated steps)
+    max_steps = max(1, -(-(span_len + cfg.max_trajectory_age)
+                         // cfg.block_frames))
+    group = max(1, min(group, max_steps))
 
     staged: List[dict] = []      # dispatched steps awaiting fetch
     deferred: List[tuple] = []   # (span_i, PendingEmbed) awaiting fetch

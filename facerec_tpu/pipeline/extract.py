@@ -940,6 +940,11 @@ def run_extract(
     if cfg.checkpoint_every_blocks > 0:
         # checkpoints need a drained pipeline; bound their lag
         group = min(group, cfg.checkpoint_every_blocks)
+    # never larger than the shard itself: a short film with a large
+    # fetch group would otherwise pad (and compile) a scan program
+    # mostly made of repeated blocks
+    n_blocks = -(-(end_overlap - start_frame) // cfg.block_frames)
+    group = max(1, min(group, n_blocks))
 
     staged: List[dict] = []      # dispatched blocks awaiting fetch
     deferred: List = []          # PendingEmbeds awaiting fetch

@@ -422,17 +422,18 @@ class ShardConsumer:
         for rec in self.assembler.feed(emit_host, frame0):
             records.write_trajectory(self.traj_file, rec)
             self.counters.saved_trajectories += 1
-        for i in range(len(frames)):
-            for d in range(det_slot.shape[1]):
-                if not det_valid[i, d]:
-                    continue
-                s = det_slot[i, d]
-                if s < 0:
-                    continue  # capacity overflow
-                self.pending.append(faces_mod.PendingFace(
-                    frame=frame0 + i, uid=int(slot_uid[i, s]),
-                    posterior_box=slot_box[i, s].copy(),
-                    landmarks=landmarks[i, d]))
+        # bulk-extract the (frame, detection) pairs that joined a track
+        # this block — the dense python scan over B×D slots costs more
+        # than the faces it finds (row-major nonzero keeps frame order,
+        # then detection order, matching the scalar loop)
+        rows, dets = np.nonzero(np.asarray(det_valid[:len(frames)])
+                                & (np.asarray(det_slot) >= 0))
+        slots = np.asarray(det_slot)[rows, dets]
+        for i, d, s in zip(rows.tolist(), dets.tolist(), slots.tolist()):
+            self.pending.append(faces_mod.PendingFace(
+                frame=frame0 + i, uid=int(slot_uid[i, s]),
+                posterior_box=slot_box[i, s].copy(),
+                landmarks=landmarks[i, d]))
 
         # pixel window for deferred crops (trimmed after each flush)
         self.pixel_window[frame0] = frames

@@ -320,8 +320,24 @@ def run_extract_mesh(
         if active[i] else None
         for i, (beg, end, _) in enumerate(spans)]
 
+    group = max(1, cfg.fetch_every_blocks)
+    if cfg.checkpoint_every_blocks > 0:
+        group = min(group, cfg.checkpoint_every_blocks)
+    # never larger than the longest span's block count (a short film
+    # with a large fetch group would otherwise pad and compile a scan
+    # program mostly made of repeated steps)
+    max_steps = max(1, -(-(span_len + cfg.max_trajectory_age)
+                         // cfg.block_frames))
+    group = max(1, min(group, max_steps))
+
+    from facerec_tpu.video.reader import fetch_ring_blocks
+
+    # n concurrent rings share the host-memory budget
+    ring = fetch_ring_blocks(group, cfg.block_frames, d_h, d_w,
+                             budget_bytes=(2 << 30) // max(1, n))
     readers = [open_block_reader(file, info, cfg.block_frames,
-                                 decode_workers=cfg.decode_workers)
+                                 decode_workers=cfg.decode_workers,
+                                 ring_blocks=ring)
                if active[i] else None
                for i, _ in enumerate(spans)]
     iters = [r.blocks(start_frames[i], stop, cfg.block_frames)
@@ -355,16 +371,6 @@ def run_extract_mesh(
     # high-latency links every host↔device interaction pays the RPC
     # round trip, so the interaction count per group — not bytes —
     # bounds throughput (docs/DESIGN.md "Group-batched fetches").
-    group = max(1, cfg.fetch_every_blocks)
-    if cfg.checkpoint_every_blocks > 0:
-        group = min(group, cfg.checkpoint_every_blocks)
-    # never larger than the longest span's block count (a short film
-    # with a large fetch group would otherwise pad and compile a scan
-    # program mostly made of repeated steps)
-    max_steps = max(1, -(-(span_len + cfg.max_trajectory_age)
-                         // cfg.block_frames))
-    group = max(1, min(group, max_steps))
-
     staged: List[dict] = []      # dispatched steps awaiting fetch
     deferred: List[tuple] = []   # (span_i, PendingEmbed) awaiting fetch
     inflight = None

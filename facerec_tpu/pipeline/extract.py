@@ -776,19 +776,32 @@ def run_extract(
     resume_state = ckpt.load_checkpoint(ckpt_path) if (
         cfg.resume and cfg.checkpoint_every_blocks > 0) else None
 
-    reader = open_block_reader(file, info, cfg.block_frames,
-                               decode_workers=cfg.decode_workers)
-    jpeg_writer = make_jpeg_writer(cfg)
-    consumer = ShardConsumer(dirs, movie_id, cfg, beg, end, d_w, d_h,
-                             embedders, jpeg_writer,
-                             resume_state=resume_state)
-
     start_frame = beg
     if resume_state is not None:
         start_frame = resume_state["next_frame"]
         scene_state = resume_state["scene_state"]
         tracker_state = resume_state["tracker_state"]
         print(f"Resuming shard {beg}-{end} at frame {start_frame}")
+
+    group = max(1, cfg.fetch_every_blocks)
+    if cfg.checkpoint_every_blocks > 0:
+        # checkpoints need a drained pipeline; bound their lag
+        group = min(group, cfg.checkpoint_every_blocks)
+    # never larger than the shard itself: a short film with a large
+    # fetch group would otherwise pad (and compile) a scan program
+    # mostly made of repeated blocks
+    n_blocks = -(-(end_overlap - start_frame) // cfg.block_frames)
+    group = max(1, min(group, n_blocks))
+
+    from facerec_tpu.video.reader import fetch_ring_blocks
+
+    reader = open_block_reader(
+        file, info, cfg.block_frames, decode_workers=cfg.decode_workers,
+        ring_blocks=fetch_ring_blocks(group, cfg.block_frames, d_h, d_w))
+    jpeg_writer = make_jpeg_writer(cfg)
+    consumer = ShardConsumer(dirs, movie_id, cfg, beg, end, d_w, d_h,
+                             embedders, jpeg_writer,
+                             resume_state=resume_state)
 
     fused = None
     if hasattr(detector, "variables") and (
@@ -937,16 +950,6 @@ def run_extract(
     # overlaps the next group's decode, upload, and device compute.
     # Flush semantics stay per-block — files are byte-identical to the
     # unbatched loop at any group size.
-    group = max(1, cfg.fetch_every_blocks)
-    if cfg.checkpoint_every_blocks > 0:
-        # checkpoints need a drained pipeline; bound their lag
-        group = min(group, cfg.checkpoint_every_blocks)
-    # never larger than the shard itself: a short film with a large
-    # fetch group would otherwise pad (and compile) a scan program
-    # mostly made of repeated blocks
-    n_blocks = -(-(end_overlap - start_frame) // cfg.block_frames)
-    group = max(1, min(group, n_blocks))
-
     staged: List[dict] = []      # dispatched blocks awaiting fetch
     deferred: List = []          # PendingEmbeds awaiting fetch
     inflight = None              # {"joined", "deferred", "blocks"}

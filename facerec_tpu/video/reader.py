@@ -143,18 +143,34 @@ class _NativeBlockAdapter:
 
 def open_block_reader(path: str, info: VideoInfo, block_frames: int,
                       prefer_native: bool = True,
-                      decode_workers: int = 0):
+                      decode_workers: int = 0,
+                      ring_blocks: int = 2):
     """Best available block reader: the native C++ block decoder when
     built (optionally with parallel decode workers), the OpenCV Python
-    reader otherwise."""
+    reader otherwise.
+
+    ``ring_blocks`` bounds how far the native decode workers run ahead
+    of the consumer; group-fetch drivers raise it to the fetch group
+    size so decode continues through the multi-second device→host
+    transfer of a group (see :func:`fetch_ring_blocks`)."""
     if prefer_native:
         try:
             from facerec_tpu.runtime.native import NativeVideoReader
 
             native = NativeVideoReader(
                 path, info.display_width, info.display_height,
-                block_frames, n_workers=decode_workers)
+                block_frames, ring_blocks=ring_blocks,
+                n_workers=decode_workers)
             return _NativeBlockAdapter(native)
         except (RuntimeError, ValueError, OSError):
             pass
     return VideoReader(path, info)
+
+
+def fetch_ring_blocks(group: int, block_frames: int, height: int,
+                      width: int, budget_bytes: int = 2 << 30) -> int:
+    """Decode-ring depth for a fetch group: group + 2 blocks ahead so
+    the C++ workers keep decoding through a group's fetch RTT, capped
+    by a host-memory budget (a 4K film's blocks are ~3 GB each)."""
+    block_bytes = max(1, block_frames * height * width * 3)
+    return max(2, min(group + 2, budget_bytes // block_bytes))

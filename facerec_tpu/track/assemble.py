@@ -76,24 +76,31 @@ class TrajectoryAssembler:
 
         out: List[dict] = []
         n_frames, n_slots = emitted.shape
+        # one bulk conversion instead of B×S numpy scalar reads — the
+        # dense slot scan costs more than the tracks it finds
+        emitted_l = emitted.tolist()
+        uid_l = uid.tolist()
+        detected_l = detected.tolist()
+        first_frame_l = first_frame.tolist()
         for i in range(n_frames):
             frame = frame0 + i
             seen = set()
+            row = emitted_l[i]
             for s in range(n_slots):
-                if not emitted[i, s]:
+                if not row[s]:
                     continue
-                u = int(uid[i, s])
+                u = uid_l[i][s]
                 seen.add(u)
                 trk = self.tracks.get(u)
                 if trk is None:
                     trk = _Track(
-                        uid=u, first_frame=int(first_frame[i, s]),
+                        uid=u, first_frame=first_frame_l[i][s],
                         boxes=[], detected=[], prefix_len=0,
                         prefix_broken=False, last_update=frame,
                     )
                     self.tracks[u] = trk
                 trk.boxes.append(box[i, s])
-                d = bool(detected[i, s])
+                d = bool(detected_l[i][s])
                 trk.detected.append(d)
                 if d:
                     trk.last_update = frame

@@ -285,10 +285,26 @@ if __name__ == "__main__":
     parser.add_argument("--no-e2e", action="store_true",
                         help="skip the end-to-end line in default mode")
     args = parser.parse_args()
-    if args.e2e:
-        from facerec_tpu.runtime import ensure_platform
 
-        ensure_platform()
+    # The tunneled backend occasionally fails/hangs at init right
+    # after another client exits; probe with bounded retries so one
+    # bad handshake doesn't void the whole benchmark run.
+    for attempt in range(3):
+        try:
+            from facerec_tpu.runtime import ensure_platform
+
+            ensure_platform()
+            import jax
+
+            jax.devices()
+            break
+        except RuntimeError as e:
+            log(f"backend init failed (attempt {attempt + 1}/3): {e}")
+            if attempt == 2:
+                raise
+            time.sleep(120)
+
+    if args.e2e:
         bench_e2e(args.frames,
                   [int(w) for w in args.decode_workers.split(",")],
                   repeats=args.repeats)

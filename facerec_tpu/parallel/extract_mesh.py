@@ -26,7 +26,6 @@ the serial run's batch composition exactly.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 from typing import Callable, List, Optional
 

@@ -328,6 +328,11 @@ def run_extract_mesh(
     max_steps = max(1, -(-(span_len + cfg.max_trajectory_age)
                          // cfg.block_frames))
     group = max(1, min(group, max_steps))
+    # HBM guard: a mesh group buffer is (k, n, B, H, W, 3) and ~2 stay
+    # alive (in-flight + dispatching); cap the group so frame buffers
+    # stay within ~6 GB of device memory at any film resolution
+    step_bytes = n * cfg.block_frames * d_h * d_w * 3
+    group = max(1, min(group, (3 << 30) // max(1, step_bytes)))
 
     from facerec_tpu.video.reader import fetch_ring_blocks
 

@@ -792,6 +792,12 @@ def run_extract(
     # mostly made of repeated blocks
     n_blocks = -(-(end_overlap - start_frame) // cfg.block_frames)
     group = max(1, min(group, n_blocks))
+    # HBM guard: the pipeline keeps ~2 group-sized frame buffers alive
+    # (in-flight + dispatching) plus the crop window; cap the group so
+    # frame buffers stay within ~6 GB of device memory at any film
+    # resolution (a 4K block alone is ~3.2 GB)
+    block_bytes = cfg.block_frames * d_h * d_w * 3
+    group = max(1, min(group, (3 << 30) // max(1, block_bytes)))
 
     from facerec_tpu.video.reader import fetch_ring_blocks
 

@@ -25,8 +25,13 @@ def log(m): print(m, file=sys.stderr, flush=True)
 BLOCK, H, W = 128, 576, 768
 CROPS = 64
 dt = jnp.bfloat16
+# A/B knobs: FACEREC_PROFILE_WIDTH=72 (slim backbone),
+# FACEREC_RESIZE=periodic (gather-free letterbox) — profile both
+# against the default before changing production defaults
+WIDTH = int(os.environ.get("FACEREC_PROFILE_WIDTH", "96"))
 detector = DetectorHarness.create(input_size=(384, 512), max_detections=16,
-                                  score_threshold=0.95, dtype=dt)
+                                  score_threshold=0.95, dtype=dt,
+                                  backbone_width=WIDTH)
 bank = EmbedderBank.create_default(dtype=dt)
 tracker_cfg = TrackerConfig(max_tracks=32, max_detections=16)
 bs, bn = bank.pooled.backbone_stack, bank.pooled.bottlenecks

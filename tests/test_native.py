@@ -85,3 +85,15 @@ def test_native_parallel_decode_matches(clip, workers):
     assert [f for f, _ in par_blocks] == [f for f, _ in seq_blocks]
     for (_, a), (_, b) in zip(par_blocks, seq_blocks):
         np.testing.assert_array_equal(a, b)
+
+
+def test_fetch_ring_blocks_budget():
+    from facerec_tpu.video.reader import fetch_ring_blocks
+
+    # bench resolution: group+2 fits the budget
+    assert fetch_ring_blocks(8, 128, 576, 768) == 10
+    # 4K: a block is ~3.2 GB — ring pinned to the floor of 2
+    assert fetch_ring_blocks(8, 128, 2160, 3840) == 2
+    # 1080p: capped by the 2 GiB budget (~2 blocks of ~0.8 GB)
+    ring = fetch_ring_blocks(8, 128, 1080, 1920)
+    assert 2 <= ring < 10

@@ -10,7 +10,8 @@ device-to-device data dependencies only; the host syncs once at the
 end, so the number is pure device throughput (what a double-buffered
 production extract sustains per chip).
 
-The second JSON line measures the REAL production loop end to end: a
+A second JSON line (printed first; the headline prints last) measures
+the REAL production loop end to end: a
 synthetic 576×768 mp4 through ``run_extract`` — native C++ decode,
 host→device block upload, the fused device program (full detector
 FLOPs; detections overlaid from the clip's ground truth so the
@@ -309,9 +310,11 @@ if __name__ == "__main__":
                   [int(w) for w in args.decode_workers.split(",")],
                   repeats=args.repeats)
     else:
-        # line 1: pure device throughput; line 2: the REAL production
-        # loop (decode → device → contract files) on this host
-        main()
+        # first JSON line: the REAL production loop (decode → device →
+        # contract files) on this host; LAST line: the headline
+        # per-chip device throughput (the §6 north-star metric — last
+        # so single-metric consumers of the output record it)
         if not args.no_e2e:
             bench_e2e(args.frames, [2], decode_baseline=False,
                       repeats=args.repeats)
+        main()

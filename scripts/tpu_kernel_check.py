@@ -84,6 +84,43 @@ def check_fullhd_block() -> None:
     print(f"  fused 1080p block ({b} frames, detector {size}): finite")
 
 
+def check_grouped_dispatch_identity() -> None:
+    """call_grouped (lax.scan of the block step) must produce payload
+    bytes identical to per-block dispatches ON HARDWARE — the CPU
+    byte-identity tests can't rule out the TPU compiler reassociating
+    reductions differently between the scan body and the standalone
+    block program."""
+    from facerec_tpu.models import DetectorHarness
+    from facerec_tpu.ops import scene as scene_ops
+    from facerec_tpu.pipeline.extract import FusedBlockStep
+    from facerec_tpu.track import TrackerConfig, init_tracker
+
+    b, h, w = 32, 576, 768
+    detector = DetectorHarness.create(
+        input_size=(384, 512), max_detections=16, score_threshold=0.5,
+        dtype=jnp.bfloat16)
+    tracker_cfg = TrackerConfig(max_tracks=32, max_detections=16)
+    fused = FusedBlockStep(detector, tracker_cfg)
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 255, (2 * b, h, w, 3)).astype(np.uint8)
+    ss0 = scene_ops.initial_state(h, w, crop=True)
+    ts0 = init_tracker(tracker_cfg)
+
+    p0, ss, ts = fused(jnp.asarray(frames[:b]), ss0, ts0, 0)
+    p1, ss, ts = fused(jnp.asarray(frames[b:]), ss, ts, b)
+    per_block = [fused.unpack(np.asarray(p0)),
+                 fused.unpack(np.asarray(p1))]
+
+    gp, _ss, _ts = fused.call_grouped(jnp.asarray(frames), ss0, ts0,
+                                      0, 2, b)
+    grouped = fused.unpack_grouped(np.asarray(gp), 2)
+    for blk, (want, got) in enumerate(zip(per_block, grouped)):
+        for a, bb in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+    print(f"  grouped dispatch (k=2, {b}-frame blocks): bit-identical")
+
+
 def main():
     if jax.default_backend() != "tpu":
         print("No TPU present; nothing checked.")
@@ -94,6 +131,7 @@ def main():
     check((2, 960, 1920), rng)    # cropped 1080p, 7.4 MB (tiled)
     check((1, 2048, 4096), rng)   # 4K-class plane, 33.6 MB (tiled)
     check_fullhd_block()          # whole extract block at 1080p
+    check_grouped_dispatch_identity()
     print("TPU kernel check: PASS")
     return 0
 

@@ -195,10 +195,26 @@ def main(argv=None) -> int:
                              "checkpoints (see extract --help)")
     parser.add_argument("--detector-weights", type=str, default=None,
                         help="orbax checkpoint dir of detector weights")
+    parser.add_argument("--fetch-every-blocks", type=int, default=None,
+                        help="extract transfer batching (see extract "
+                             "--help); raise on high-latency links")
+    parser.add_argument("--decode-workers", type=int, default=None,
+                        help="parallel native decode workers for "
+                             "extract")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
-    stages = build_stages(args.filmfile, args.out_path, PipelineConfig(),
+    import dataclasses as _dc
+
+    pcfg = PipelineConfig()
+    overrides = {k: v for k, v in (
+        ("fetch_every_blocks", args.fetch_every_blocks),
+        ("decode_workers", args.decode_workers)) if v is not None}
+    if overrides:
+        pcfg = _dc.replace(
+            pcfg, extract=_dc.replace(pcfg.extract, **overrides))
+
+    stages = build_stages(args.filmfile, args.out_path, pcfg,
                           actors_dir=args.actors_dir,
                           skip=args.skip.split(",") if args.skip else (),
                           shard_procs=args.shard_procs,

@@ -88,3 +88,7 @@ def test_run_report_written(clip, tmp_path):
     assert stage.startswith("extract_")
     assert report[stage]["counters"]["frames_processed"] == 48
     assert report[stage]["wall_seconds"] > 0
+    # the per-phase wall breakdown the bench's "phases:" line reads
+    for p in ("decode", "dispatch", "upload", "fetch", "consume",
+              "flush_dispatch"):
+        assert f"{p}_seconds" in report[stage]["counters"], p

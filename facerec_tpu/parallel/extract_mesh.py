@@ -389,22 +389,24 @@ def run_extract_mesh(
     group_buf: List[dict] = []
 
     def dispatch_group(steps_buf):
-        """Upload + enqueue a whole fetch group of lockstep steps as
-        ONE dispatch (MeshBlockStep.call_grouped); short tail groups
-        pad with repeats of the last step (padded rows are never
-        consumed, the carried state is never used again)."""
+        """Enqueue a whole fetch group of lockstep steps as ONE
+        dispatch (MeshBlockStep.call_grouped); each step's frames were
+        already uploaded asynchronously when its blocks were decoded
+        (sd["dev"]), so the link work overlaps decode instead of
+        landing in one synchronous group upload.  Short tail groups pad
+        with repeats of the last step (padded rows are never consumed,
+        the carried state is never used again)."""
         nonlocal scene_state, tracker_state
         steps_buf = list(steps_buf)
         while len(steps_buf) < group:
             last = steps_buf[-1]
             steps_buf.append({"blocks": last["blocks"],
+                              "dev": last["dev"],
                               "frame0s": last["frame0s"] + b,
                               "reals": [0] * n})
-        frames_np = np.stack([np.stack(sd["blocks"])
-                              for sd in steps_buf])
         f0s = np.stack([sd["frame0s"] for sd in steps_buf]).astype(
             np.int32)
-        dev = jnp.asarray(frames_np)
+        dev = jnp.stack([sd["dev"] for sd in steps_buf])
         packed, scene_state, tracker_state = step.call_grouped(
             det_vars, dev, scene_state, tracker_state,
             jnp.asarray(f0s), group)
@@ -556,8 +558,12 @@ def run_extract_mesh(
             break
 
         if use_grouped:
+            # start the step's async host→device upload now, while the
+            # readers decode the next step (dispatch_group stacks the
+            # uploaded steps on device)
             group_buf.append({"blocks": blocks, "frame0s": frame0s,
-                              "reals": reals})
+                              "reals": reals,
+                              "dev": jnp.asarray(np.stack(blocks))})
             steps_done += 1
             if len(group_buf) < group:
                 continue

@@ -870,32 +870,45 @@ def run_extract(
                 "scene_state": scene_state,
                 "tracker_state": tracker_state}
 
+    def stage_block(nxt):
+        """Pad a decoded block and START its host→device upload
+        immediately (device_put is asynchronous): the link carries each
+        170 MB block while the next one decodes, instead of one giant
+        synchronous group upload at the group boundary (which also cost
+        a group-sized host memcpy to concatenate)."""
+        frame0, frames = nxt
+        b = cfg.block_frames
+        real = len(frames)
+        if real < b:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], b - real, axis=0)])
+        t_up = time.perf_counter()
+        dev_b = jnp.asarray(frames)
+        phase["upload"] += time.perf_counter() - t_up
+        return {"frame0": frame0, "frames": frames, "real": real,
+                "dev": dev_b}
+
     def dispatch_group(buf_blocks):
-        """Upload + enqueue a whole fetch group's blocks as ONE
-        dispatch (FusedBlockStep.call_grouped): the scan body is the
-        block step, so payload bytes match k per-block dispatches bit
-        for bit, at 2 host↔device interactions instead of 2k."""
+        """Enqueue a whole fetch group's (already uploading) blocks as
+        ONE dispatch (FusedBlockStep.call_grouped): the scan body is
+        the block step, so payload bytes match k per-block dispatches
+        bit for bit, at one enqueue per group — and the frames ride
+        the link per block, overlapped with decode (stage_block)."""
         nonlocal scene_state, tracker_state
         b = cfg.block_frames
-        frames_list, reals, frame0s = [], [], []
-        for frame0, frames in buf_blocks:
-            real = len(frames)
-            if real < b:
-                frames = np.concatenate(
-                    [frames, np.repeat(frames[-1:], b - real, axis=0)])
-            frames_list.append(frames)
-            reals.append(real)
-            frame0s.append(frame0)
-        while len(frames_list) < group:
+        dev_list = [blk["dev"] for blk in buf_blocks]
+        frames_list = [blk["frames"] for blk in buf_blocks]
+        reals = [blk["real"] for blk in buf_blocks]
+        frame0s = [blk["frame0"] for blk in buf_blocks]
+        while len(dev_list) < group:
             # short tail group: pad with repeats of the last block so
             # one compiled program serves every group; padded rows are
             # never consumed and the carried state is never used again
+            dev_list.append(dev_list[-1])
             frames_list.append(frames_list[-1])
             reals.append(0)
             frame0s.append(frame0s[-1] + b)
-        t_up = time.perf_counter()
-        dev = jnp.asarray(np.concatenate(frames_list))
-        phase["upload"] += time.perf_counter() - t_up
+        dev = dev_list[0] if group == 1 else jnp.concatenate(dev_list)
         packed, scene_state, tracker_state = fused.call_grouped(
             dev, scene_state, tracker_state, frame0s[0], group, b)
         return {"k": group, "frame0s": frame0s, "reals": reals,
@@ -1044,7 +1057,7 @@ def run_extract(
             break
         t0 = time.perf_counter()
         if use_grouped:
-            group_buf.append(nxt)
+            group_buf.append(stage_block(nxt))
             if len(group_buf) == group:
                 staged.append(dispatch_group(group_buf))
                 group_buf = []

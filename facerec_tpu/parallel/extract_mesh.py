@@ -119,7 +119,6 @@ class MeshBlockStep:
         self._jitted = jax.jit(step)
         self._jax = jax
         self._spec = None
-        self._grouped = {}       # k -> (jitted scan program, spec)
 
     def __call__(self, det_vars, frames, scene_state, tracker_state,
                  frame0):
@@ -139,62 +138,6 @@ class MeshBlockStep:
         from facerec_tpu.runtime.transfer import unpack_tree
 
         return unpack_tree(packed_host, *self._spec)
-
-    def call_grouped(self, det_vars, frames, scene_state, tracker_state,
-                     frame0s, k: int):
-        """Advance every span by k consecutive blocks in ONE dispatch:
-        a ``lax.scan`` of the sharded step over the (k, n, B, H, W, 3)
-        upload with explicit (k, n) frame starts.  Identical ops in
-        identical order to k lockstep dispatches, so payload bytes
-        match the per-step path bit for bit — at one upload + one
-        enqueue per group instead of k of each."""
-        import jax.numpy as jnp
-
-        if k not in self._grouped:
-            jax = self._jax
-            from jax import lax
-
-            from facerec_tpu.runtime.transfer import pack_tree, tree_spec
-
-            sharded = self._sharded
-
-            def gpayloads(det_vars, frames, scene_state, tracker_state,
-                          frame0s):
-                def body(carry, xs):
-                    ss, ts = carry
-                    fr, f0 = xs
-                    flags, det, emit, ss, ts = sharded(
-                        det_vars, fr, ss, ts, f0)
-                    return (ss, ts), (flags, emit, det.valid,
-                                      det.landmarks)
-
-                (ss, ts), payloads = lax.scan(
-                    body, (scene_state, tracker_state),
-                    (frames, frame0s))
-                return payloads, ss, ts
-
-            def gstep(*args):
-                payloads, ss, ts = gpayloads(*args)
-                return pack_tree(payloads), ss, ts
-
-            args = (det_vars, frames, scene_state, tracker_state,
-                    frame0s)
-            shapes, _, _ = self._jax.eval_shape(gpayloads, *args)
-            self._grouped[k] = (self._jax.jit(gstep), tree_spec(shapes))
-        jitted, _spec = self._grouped[k]
-        return jitted(det_vars, frames, scene_state, tracker_state,
-                      frame0s)
-
-    def unpack_grouped(self, packed_host, k: int):
-        """Fetched k-step buffer → list of k per-step payloads, each
-        with the (n, ...) span-leading axis."""
-        from facerec_tpu.runtime.transfer import unpack_tree
-
-        _jitted, spec = self._grouped[k]
-        stacked = unpack_tree(packed_host, *spec)
-        return [self._jax.tree.map(lambda x, i=i: x[i], stacked)
-                for i in range(k)]
-
 
 def build_mesh_step(mesh, detector, tracker_cfg: TrackerConfig
                     ) -> MeshBlockStep:
@@ -382,37 +325,6 @@ def run_extract_mesh(
     steps_consumed = 0
     last_ckpt = 0
     last_consumed: Optional[dict] = None
-    # one dispatch per GROUP (lax.scan of the sharded step over k
-    # lockstep steps) — the mesh detector is always a pure function,
-    # so grouping needs only group > 1
-    use_grouped = group > 1
-    group_buf: List[dict] = []
-
-    def dispatch_group(steps_buf):
-        """Enqueue a whole fetch group of lockstep steps as ONE
-        dispatch (MeshBlockStep.call_grouped); each step's frames were
-        already uploaded asynchronously when its blocks were decoded
-        (sd["dev"]), so the link work overlaps decode instead of
-        landing in one synchronous group upload.  Short tail groups pad
-        with repeats of the last step (padded rows are never consumed,
-        the carried state is never used again)."""
-        nonlocal scene_state, tracker_state
-        steps_buf = list(steps_buf)
-        while len(steps_buf) < group:
-            last = steps_buf[-1]
-            steps_buf.append({"blocks": last["blocks"],
-                              "dev": last["dev"],
-                              "frame0s": last["frame0s"] + b,
-                              "reals": [0] * n})
-        f0s = np.stack([sd["frame0s"] for sd in steps_buf]).astype(
-            np.int32)
-        dev = jnp.stack([sd["dev"] for sd in steps_buf])
-        packed, scene_state, tracker_state = step.call_grouped(
-            det_vars, dev, scene_state, tracker_state,
-            jnp.asarray(f0s), group)
-        return {"k": group, "steps": steps_buf, "packed": packed,
-                "dev": dev, "scene_state": scene_state,
-                "tracker_state": tracker_state}
 
     def _feed_span_blocks(blocks, frame0s, reals, flags_np, emit_host,
                           det_valid, landmarks, dev) -> None:
@@ -436,29 +348,6 @@ def run_extract_mesh(
                           st["dev"])
         steps_consumed += 1
         last_consumed = st
-
-    def consume_group(g, buf) -> None:
-        """Feed a fetched k-step group; per-span/per-block flush
-        selection, group-end device state for checkpoints."""
-        nonlocal steps_consumed, last_consumed
-        payloads = step.unpack_grouped(buf, g["k"])
-        # per-span frame watermark of the group (for checkpoints):
-        # the last step in which the span still had real frames
-        ck_frame0s = np.zeros(n, np.int32)
-        ck_reals = [0] * n
-        for j, sd in enumerate(g["steps"]):
-            flags_np, emit_host, det_valid, landmarks = payloads[j]
-            _feed_span_blocks(sd["blocks"], sd["frame0s"], sd["reals"],
-                              flags_np, emit_host, det_valid, landmarks,
-                              g["dev"][j])
-            steps_consumed += 1
-            for i in range(n):
-                if sd["reals"][i] > 0:
-                    ck_frame0s[i] = sd["frame0s"][i]
-                    ck_reals[i] = sd["reals"][i]
-        last_consumed = {"frame0s": ck_frame0s, "reals": ck_reals,
-                         "scene_state": g["scene_state"],
-                         "tracker_state": g["tracker_state"]}
 
     def start_fetch() -> None:
         nonlocal inflight, staged, deferred
@@ -484,10 +373,7 @@ def run_extract_mesh(
             off += pe.nbytes
         for st in inflight["steps"]:
             m = int(st["packed"].shape[0])
-            if "k" in st:
-                consume_group(st, buf[off:off + m])
-            else:
-                consume_step(st, buf[off:off + m])
+            consume_step(st, buf[off:off + m])
             off += m
         assert off == buf.size, (off, buf.size)
         inflight = None
@@ -557,30 +443,23 @@ def run_extract_mesh(
         if all(exhausted) and not any(reals):
             break
 
-        if use_grouped:
-            # start the step's async host→device upload now, while the
-            # readers decode the next step (dispatch_group stacks the
-            # uploaded steps on device)
-            group_buf.append({"blocks": blocks, "frame0s": frame0s,
-                              "reals": reals,
-                              "dev": jnp.asarray(np.stack(blocks))})
-            steps_done += 1
-            if len(group_buf) < group:
-                continue
-            staged.append(dispatch_group(group_buf))
-            group_buf = []
-        else:
-            dev_all = jnp.asarray(np.stack(blocks))
-            packed, scene_state, tracker_state = step(
-                det_vars, dev_all, scene_state, tracker_state,
-                jnp.asarray(frame0s))
-            staged.append({"packed": packed, "blocks": blocks,
-                           "frame0s": frame0s, "reals": reals,
-                           "dev": dev_all, "scene_state": scene_state,
-                           "tracker_state": tracker_state})
-            steps_done += 1
-            if len(staged) < group:
-                continue
+        # Per-step dispatch (upload + enqueue the lockstep row as soon
+        # as its blocks decode: the link carries the frame bytes while
+        # later steps decode), group-batched fetch.  A scanned
+        # one-dispatch-per-group variant was measured 5× slower on the
+        # tunnel harness — its group-sized jnp.stack re-ships every
+        # frame byte a second time (see pipeline/extract.py).
+        dev_all = jnp.asarray(np.stack(blocks))
+        packed, scene_state, tracker_state = step(
+            det_vars, dev_all, scene_state, tracker_state,
+            jnp.asarray(frame0s))
+        staged.append({"packed": packed, "blocks": blocks,
+                       "frame0s": frame0s, "reals": reals,
+                       "dev": dev_all, "scene_state": scene_state,
+                       "tracker_state": tracker_state})
+        steps_done += 1
+        if len(staged) < group:
+            continue
         if inflight is not None:
             collect_fetch()
             maybe_checkpoint()
@@ -591,8 +470,6 @@ def run_extract_mesh(
             # cadence instead of lagging one group behind
             collect_fetch()
             maybe_checkpoint()
-    if group_buf:
-        staged.append(dispatch_group(group_buf))
 
     # drain: collect the in-flight group, then fetch the remainder
     while inflight is not None or staged or deferred:

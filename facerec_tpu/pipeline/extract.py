@@ -142,7 +142,6 @@ class FusedBlockStep:
         self._jnp = jnp
         self._jax = jax
         self._spec = None
-        self._grouped = {}       # k -> jitted k-block scan program
 
     def __call__(self, frames, scene_state, tracker_state, frame0: int):
         """→ (packed payload (uint8, device), scene_state,
@@ -161,65 +160,6 @@ class FusedBlockStep:
         from facerec_tpu.runtime.transfer import unpack_tree
 
         return unpack_tree(packed_host, *self._spec)
-
-    def call_grouped(self, frames_flat, scene_state, tracker_state,
-                     frame0: int, k: int, block: int):
-        """Advance k CONSECUTIVE blocks in ONE dispatch: a
-        ``lax.scan`` of the fused block body over the (k·B, H, W, 3)
-        upload.  Identical ops in identical order to k single-block
-        dispatches (the scan body IS the block step), so payload bytes
-        match the per-block path bit for bit — but the host pays one
-        upload + one enqueue per group instead of k of each, the lever
-        on hosts where every interaction costs a link round trip.
-
-        → (packed (k-stacked) payload, scene_state, tracker_state);
-        decode with :meth:`unpack_grouped`."""
-        jnp = self._jnp
-
-        if k not in self._grouped:
-            jax = self._jax
-            from jax import lax
-
-            from facerec_tpu.runtime.transfer import pack_tree, tree_spec
-
-            step = self._step
-
-            def gpayloads(det_vars, frames_flat, scene_state,
-                          tracker_state, frame00):
-                frames = frames_flat.reshape(
-                    (k, block) + frames_flat.shape[1:])
-                f0s = frame00 + jnp.arange(k, dtype=jnp.int32) * block
-
-                def body(carry, xs):
-                    ss, ts = carry
-                    fr, f0 = xs
-                    payload, ss, ts = step(det_vars, fr, ss, ts, f0)
-                    return (ss, ts), payload
-
-                (ss, ts), payloads = lax.scan(
-                    body, (scene_state, tracker_state), (frames, f0s))
-                return payloads, ss, ts
-
-            def gstep(*args):
-                payloads, ss, ts = gpayloads(*args)
-                return pack_tree(payloads), ss, ts
-
-            args = (self.detector.variables, frames_flat, scene_state,
-                    tracker_state, jnp.int32(frame0))
-            shapes, _, _ = self._jax.eval_shape(gpayloads, *args)
-            self._grouped[k] = (jax.jit(gstep), tree_spec(shapes))
-        jitted, _spec = self._grouped[k]
-        return jitted(self.detector.variables, frames_flat, scene_state,
-                      tracker_state, jnp.int32(frame0))
-
-    def unpack_grouped(self, packed_host, k: int):
-        """Fetched k-block buffer → list of k per-block payloads."""
-        from facerec_tpu.runtime.transfer import unpack_tree
-
-        _jitted, spec = self._grouped[k]
-        stacked = unpack_tree(packed_host, *spec)
-        return [self._jax.tree.map(lambda x, i=i: x[i], stacked)
-                for i in range(k)]
 
 
 class EmbedderBank:
@@ -787,9 +727,7 @@ def run_extract(
     if cfg.checkpoint_every_blocks > 0:
         # checkpoints need a drained pipeline; bound their lag
         group = min(group, cfg.checkpoint_every_blocks)
-    # never larger than the shard itself: a short film with a large
-    # fetch group would otherwise pad (and compile) a scan program
-    # mostly made of repeated blocks
+    # never larger than the shard itself
     n_blocks = -(-(end_overlap - start_frame) // cfg.block_frames)
     group = max(1, min(group, n_blocks))
     # HBM guard: the pipeline keeps ~2 group-sized frame buffers alive
@@ -818,6 +756,7 @@ def run_extract(
     # per-phase wall time: where an underperforming e2e run spends it
     phase = {"decode": 0.0, "dispatch": 0.0, "upload": 0.0,
              "fetch": 0.0, "consume": 0.0, "flush_dispatch": 0.0}
+    phase_log = os.environ.get("FACEREC_PHASE_LOG", "") not in ("", "0")
     block_iter = reader.blocks(start_frame, end_overlap,
                                cfg.block_frames)
 
@@ -843,6 +782,10 @@ def run_extract(
         t_up = time.perf_counter()
         dev_frames = jnp.asarray(frames)
         phase["upload"] += time.perf_counter() - t_up
+        if phase_log:
+            print(f"[phase] block upload "
+                  f"{time.perf_counter() - t_up:.3f}s f0={frame0}",
+                  file=sys.stderr, flush=True)
         if fused is not None:
             packed, scene_state, tracker_state = fused(
                 dev_frames, scene_state, tracker_state, frame0)
@@ -869,75 +812,6 @@ def run_extract(
                 # nonlocals are ahead of the files written so far
                 "scene_state": scene_state,
                 "tracker_state": tracker_state}
-
-    def stage_block(nxt):
-        """Pad a decoded block and START its host→device upload
-        immediately (device_put is asynchronous): the link carries each
-        170 MB block while the next one decodes, instead of one giant
-        synchronous group upload at the group boundary (which also cost
-        a group-sized host memcpy to concatenate)."""
-        frame0, frames = nxt
-        b = cfg.block_frames
-        real = len(frames)
-        if real < b:
-            frames = np.concatenate(
-                [frames, np.repeat(frames[-1:], b - real, axis=0)])
-        t_up = time.perf_counter()
-        dev_b = jnp.asarray(frames)
-        phase["upload"] += time.perf_counter() - t_up
-        return {"frame0": frame0, "frames": frames, "real": real,
-                "dev": dev_b}
-
-    def dispatch_group(buf_blocks):
-        """Enqueue a whole fetch group's (already uploading) blocks as
-        ONE dispatch (FusedBlockStep.call_grouped): the scan body is
-        the block step, so payload bytes match k per-block dispatches
-        bit for bit, at one enqueue per group — and the frames ride
-        the link per block, overlapped with decode (stage_block)."""
-        nonlocal scene_state, tracker_state
-        b = cfg.block_frames
-        dev_list = [blk["dev"] for blk in buf_blocks]
-        frames_list = [blk["frames"] for blk in buf_blocks]
-        reals = [blk["real"] for blk in buf_blocks]
-        frame0s = [blk["frame0"] for blk in buf_blocks]
-        while len(dev_list) < group:
-            # short tail group: pad with repeats of the last block so
-            # one compiled program serves every group; padded rows are
-            # never consumed and the carried state is never used again
-            dev_list.append(dev_list[-1])
-            frames_list.append(frames_list[-1])
-            reals.append(0)
-            frame0s.append(frame0s[-1] + b)
-        dev = dev_list[0] if group == 1 else jnp.concatenate(dev_list)
-        packed, scene_state, tracker_state = fused.call_grouped(
-            dev, scene_state, tracker_state, frame0s[0], group, b)
-        return {"k": group, "frame0s": frame0s, "reals": reals,
-                "frames": frames_list, "packed": packed, "dev": dev,
-                "scene_state": scene_state,
-                "tracker_state": tracker_state}
-
-    def consume_group(g, buf):
-        """Feed a fetched group's k per-block payloads to the shard
-        consumer; per-block flush selection, group-end device state."""
-        nonlocal blocks_done, consumed_through, consumed_state
-        payloads = fused.unpack_grouped(buf, g["k"])
-        b = cfg.block_frames
-        for i in range(g["k"]):
-            real = g["reals"][i]
-            if real == 0:
-                continue
-            flags_np, emit_host, det_valid, landmarks = payloads[i]
-            consumer.feed_block(
-                g["frame0s"][i], g["frames"][i][:real],
-                flags_np[:real],
-                type(emit_host)(*(f[:real] for f in emit_host)),
-                det_valid[:real], landmarks[:real],
-                dev_frames=g["dev"][i * b:i * b + real], flush=False)
-            consumer.plan_flush(consumer.block_watermark(
-                g["frame0s"][i], real))
-            blocks_done += 1
-            consumed_through = g["frame0s"][i] + real
-        consumed_state = (g["scene_state"], g["tracker_state"])
 
     def consume_block(blk, buf):
         """Feed one block's fetched payload bytes to the shard consumer
@@ -989,6 +863,10 @@ def run_extract(
             joined.copy_to_host_async()
         except AttributeError:
             pass
+        if phase_log:
+            print(f"[phase] start_fetch nbytes={joined.size} "
+                  f"n_bufs={len(bufs)} t={time.perf_counter():.3f}",
+                  file=sys.stderr, flush=True)
         inflight = {"joined": joined, "deferred": deferred,
                     "blocks": staged}
         staged, deferred = [], []
@@ -998,8 +876,16 @@ def run_extract(
         blocks' features, consume the new blocks' payloads."""
         nonlocal inflight
         t0 = time.perf_counter()
+        if phase_log:
+            inflight["joined"].block_until_ready()
+            t_ready = time.perf_counter()
         buf = np.asarray(inflight["joined"])
         phase["fetch"] += time.perf_counter() - t0
+        if phase_log:
+            print(f"[phase] collect_fetch compute_wait="
+                  f"{t_ready - t0:.3f}s transfer="
+                  f"{time.perf_counter() - t_ready:.3f}s"
+                  f" nbytes={buf.size}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         off = 0
         for pe in inflight["deferred"]:
@@ -1007,10 +893,7 @@ def run_extract(
             off += pe.nbytes
         for blk in inflight["blocks"]:
             n = int(blk["packed"].shape[0])
-            if "k" in blk:
-                consume_group(blk, buf[off:off + n])
-            else:
-                consume_block(blk, buf[off:off + n])
+            consume_block(blk, buf[off:off + n])
             off += n
         assert off == buf.size, (off, buf.size)
         inflight = None
@@ -1045,35 +928,33 @@ def run_extract(
         last_ckpt_blocks = blocks_done
 
     last_ckpt_blocks = 0
-    # one dispatch per GROUP (scan over blocks) when the detector is
-    # fused-compatible; host-side detectors keep per-block dispatch
-    use_grouped = fused is not None and group > 1
-    group_buf: List[tuple] = []
+    # Per-block dispatch, group-batched fetch: each block's upload +
+    # enqueue happens the moment it decodes, so the link carries its
+    # frames while later blocks decode (on remote-tunnel backends the
+    # frame bytes ride the wire lazily at execute time — an early
+    # dispatch IS the transfer overlap); only the small packed payloads
+    # batch into one device→host fetch per `group` blocks.  A scanned
+    # one-dispatch-per-group variant (a lax.scan of the block step) was
+    # measured 5× SLOWER end-to-end on the tunnel harness: its
+    # group-sized jnp.concatenate re-ships every frame byte a second
+    # time and defeats the per-block transfer overlap.
     while True:
         t0 = time.perf_counter()
         nxt = next(block_iter, None)
         phase["decode"] += time.perf_counter() - t0
+        if phase_log:
+            print(f"[phase] decode_wait {time.perf_counter() - t0:.3f}s",
+                  file=sys.stderr, flush=True)
         if nxt is None:
             break
         t0 = time.perf_counter()
-        if use_grouped:
-            group_buf.append(stage_block(nxt))
-            if len(group_buf) == group:
-                staged.append(dispatch_group(group_buf))
-                group_buf = []
-        else:
-            staged.append(dispatch_block(nxt))
+        staged.append(dispatch_block(nxt))
         phase["dispatch"] += time.perf_counter() - t0
-        if (staged and
-                (use_grouped or len(staged) >= group)):
+        if len(staged) >= group:
             if inflight is not None:
                 collect_fetch()
                 maybe_checkpoint()
             start_fetch()
-    if group_buf:
-        t0 = time.perf_counter()
-        staged.append(dispatch_group(group_buf))
-        phase["dispatch"] += time.perf_counter() - t0
     # drain: collect the in-flight group, then fetch the remainder
     # (tail blocks and/or the last blocks' deferred flushes)
     while inflight is not None or staged or deferred:

@@ -84,12 +84,12 @@ def check_fullhd_block() -> None:
     print(f"  fused 1080p block ({b} frames, detector {size}): finite")
 
 
-def check_grouped_dispatch_identity() -> None:
-    """call_grouped (lax.scan of the block step) must produce payload
-    bytes identical to per-block dispatches ON HARDWARE — the CPU
-    byte-identity tests can't rule out the TPU compiler reassociating
-    reductions differently between the scan body and the standalone
-    block program."""
+def check_grouped_fetch_identity() -> None:
+    """The production loop fetches many blocks' packed payloads as ONE
+    jnp.concatenate'd device→host transfer; the joined bytes must be
+    identical to fetching each payload alone ON HARDWARE — the CPU
+    byte-identity tests can't rule out the TPU runtime laying out the
+    concatenated uint8 buffer differently."""
     from facerec_tpu.models import DetectorHarness
     from facerec_tpu.ops import scene as scene_ops
     from facerec_tpu.pipeline.extract import FusedBlockStep
@@ -109,16 +109,13 @@ def check_grouped_dispatch_identity() -> None:
 
     p0, ss, ts = fused(jnp.asarray(frames[:b]), ss0, ts0, 0)
     p1, ss, ts = fused(jnp.asarray(frames[b:]), ss, ts, b)
-    per_block = [fused.unpack(np.asarray(p0)),
-                 fused.unpack(np.asarray(p1))]
+    alone = [np.asarray(p0), np.asarray(p1)]
 
-    gp, _ss, _ts = fused.call_grouped(jnp.asarray(frames), ss0, ts0,
-                                      0, 2, b)
-    grouped = fused.unpack_grouped(np.asarray(gp), 2)
-    for blk, (want, got) in enumerate(zip(per_block, grouped)):
-        for a, bb in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
-    print(f"  grouped dispatch (k=2, {b}-frame blocks): bit-identical")
+    joined = np.asarray(jnp.concatenate([p0.ravel(), p1.ravel()]))
+    np.testing.assert_array_equal(joined[:alone[0].size], alone[0])
+    np.testing.assert_array_equal(joined[alone[0].size:], alone[1])
+    print(f"  group-joined payload fetch ({b}-frame blocks): "
+          "bit-identical")
 
 
 def main():
@@ -131,7 +128,7 @@ def main():
     check((2, 960, 1920), rng)    # cropped 1080p, 7.4 MB (tiled)
     check((1, 2048, 4096), rng)   # 4K-class plane, 33.6 MB (tiled)
     check_fullhd_block()          # whole extract block at 1080p
-    check_grouped_dispatch_identity()
+    check_grouped_fetch_identity()
     print("TPU kernel check: PASS")
     return 0
 

@@ -413,11 +413,11 @@ def test_one_flush_dispatch_per_fetch_group(clip, tmp_path):
     assert bank.packed_calls == bank.crop_embed_calls
 
 
-def test_grouped_dispatch_byte_identity(clip, tmp_path):
-    """With a fused-compatible detector the loop dispatches ONE scan
-    program per fetch group (FusedBlockStep.call_grouped); its output
-    must match the per-block path byte for byte, including the padded
-    short tail group."""
+def test_grouped_fetch_byte_identity(clip, tmp_path):
+    """The loop batches every fetch group's packed payloads into ONE
+    joined device→host transfer; output files must match the
+    fetch-every-block path byte for byte at any group size, including
+    the short tail group."""
     from facerec_tpu.video.synth import PureScriptedDetector
 
     outs = {}
@@ -434,10 +434,10 @@ def test_grouped_dispatch_byte_identity(clip, tmp_path):
     _compare_shard_files(outs[1], outs[64])
 
 
-def test_grouped_dispatch_crash_resume(clip, tmp_path, monkeypatch):
-    """Grouped dispatch + checkpoints: a run crashed mid-film resumes
-    to byte-identical output (group-end device state is the consumed
-    state)."""
+def test_grouped_fetch_crash_resume(clip, tmp_path, monkeypatch):
+    """Group-batched fetch + checkpoints: a run crashed mid-film
+    resumes to byte-identical output (the checkpointed device state is
+    the last CONSUMED block's, a group behind dispatch)."""
     from facerec_tpu.pipeline import extract as ex
     from facerec_tpu.video.synth import PureScriptedDetector
 

@@ -48,6 +48,11 @@ CROPS_PER_BLOCK = 64       # faces embedded per block (≈2 per saved frame)
 N_BLOCKS = 20
 DETECTOR_SIZE = (384, 512)   # AR-fitted to 576x768 (models.detector.fit_input_size)
 FETCH_EVERY = 8            # blocks per device→host transfer (e2e mode)
+# e2e wire format: delta-I420 (the recommended setting for
+# transfer-bound remote-tunnel hosts like this harness; half the
+# upload bytes + wire-compressor-friendly; --wire-format rgb for the
+# byte-exact parity default)
+WIRE_FORMAT = "yuv420-delta"
 E2E_FRAMES = 2560          # e2e film length (20 blocks = 2.5 groups)
 
 
@@ -139,7 +144,8 @@ def bench_e2e(n_frames: int, worker_settings,
         out = f"/tmp/facerec_bench/out_w{workers}"
         os.system(f"rm -rf {out} {out}_warm")
         cfg = ExtractConfig(block_frames=BLOCK, decode_workers=workers,
-                            fetch_every_blocks=FETCH_EVERY, resume=False)
+                            fetch_every_blocks=FETCH_EVERY, resume=False,
+                            wire_format=WIRE_FORMAT)
 
         # warmup = the IDENTICAL full run (covers every compile the
         # measured run hits: block program, crop/embed buckets, group

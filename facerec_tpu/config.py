@@ -93,6 +93,18 @@ class ExtractConfig:
     # and bytes at any setting); only the fetch schedule changes.
     fetch_every_blocks: int = 4
 
+    # Host→device pixel wire format.  "rgb" (default): the decoded
+    # frames upload as-is — byte-exact parity with host-only decode.
+    # "yuv420-delta": blocks upload as 4:2:0 YUV planes (the codec's
+    # own 1.5 B/px storage) with temporal frame deltas, reconstructed
+    # to RGB on device (ops/yuv.py) — half the wire bytes before
+    # compression and near the link's compressed floor after it
+    # (film deltas are mostly zero), at the cost of a few LSB of
+    # chroma re-quantization in device-side crops/features (host-side
+    # JPEG images stay exact).  Speed opt-in; see README defaults
+    # table.
+    wire_format: str = "rgb"
+
     # Fault tolerance (SURVEY.md §5.3-5.4): block-granular in-stage
     # checkpoints + idempotent shard completion markers
     checkpoint_every_blocks: int = 0  # 0 = no in-stage checkpoints

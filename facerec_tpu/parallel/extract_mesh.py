@@ -164,6 +164,12 @@ def run_extract_mesh(
 
     from facerec_tpu.ops import scene as scene_ops
 
+    if cfg.wire_format != "rgb":
+        # the sharded mesh step takes RGB span blocks; the delta-I420
+        # wire decode (ops/yuv.py) is serial-loop only so far
+        raise NotImplementedError(
+            "--wire-format yuv420-delta is not supported with --mesh "
+            "yet; run the serial loop or use wire_format=rgb")
     if mesh is None:
         devices = jax.devices()
         n = mesh_size or len(devices)

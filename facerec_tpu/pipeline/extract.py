@@ -102,9 +102,17 @@ class FusedBlockStep:
     Only usable with a pure-function detector (``_forward`` or
     ``forward_indexed`` + ``variables``); host-side detectors fall back
     to the multi-dispatch path in :func:`run_extract`.
+
+    With ``wire_format="yuv420-delta"`` the program's frame input is
+    the delta-I420 wire block (:mod:`facerec_tpu.ops.yuv`, half the
+    bytes of RGB and wire-compressor friendly); the step reconstructs
+    RGB on device as its first fused ops and ALSO returns the
+    reconstructed frames, which the caller keeps device-resident for
+    the crop+embed dispatch (:meth:`call_wire`).
     """
 
-    def __init__(self, detector, tracker_cfg: TrackerConfig):
+    def __init__(self, detector, tracker_cfg: TrackerConfig,
+                 wire_format: str = "rgb", display_h: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -113,6 +121,7 @@ class FusedBlockStep:
 
         self.detector = detector
         self.tracker_cfg = tracker_cfg
+        self.wire_format = wire_format
 
         def step(det_vars, frames, scene_state, tracker_state, frame0):
             # named scopes → XLA op metadata → per-subsystem device-ms
@@ -143,6 +152,29 @@ class FusedBlockStep:
         self._jax = jax
         self._spec = None
 
+        if wire_format == "yuv420-delta":
+            from facerec_tpu.ops import yuv as yuv_ops
+
+            def wire_step(det_vars, wire, scene_state, tracker_state,
+                          frame0):
+                with jax.named_scope("wire_decode"):
+                    rgb = yuv_ops.delta_i420_to_rgb(wire, display_h)
+                payload, scene_state, tracker_state = step(
+                    det_vars, rgb, scene_state, tracker_state, frame0)
+                return pack_tree(payload), rgb, scene_state, \
+                    tracker_state
+
+            def wire_payload(det_vars, wire, scene_state,
+                             tracker_state, frame0):
+                rgb = yuv_ops.delta_i420_to_rgb(wire, display_h)
+                return step(det_vars, rgb, scene_state, tracker_state,
+                            frame0)[0]
+
+            self._jitted_wire = jax.jit(wire_step)
+            self._wire_payload = wire_payload
+        elif wire_format != "rgb":
+            raise ValueError(f"unknown wire_format {wire_format!r}")
+
     def __call__(self, frames, scene_state, tracker_state, frame0: int):
         """→ (packed payload (uint8, device), scene_state,
         tracker_state)."""
@@ -154,6 +186,20 @@ class FusedBlockStep:
             payload_shape, _, _ = self._jax.eval_shape(self._step, *args)
             self._spec = tree_spec(payload_shape)
         return self._jitted(*args)
+
+    def call_wire(self, wire, scene_state, tracker_state, frame0: int):
+        """yuv420-delta dispatch → (packed payload, reconstructed RGB
+        frames (device-resident, for the crop+embed path),
+        scene_state, tracker_state)."""
+        args = (self.detector.variables, wire, scene_state,
+                tracker_state, self._jnp.int32(frame0))
+        if self._spec is None:
+            from facerec_tpu.runtime.transfer import tree_spec
+
+            payload_shape = self._jax.eval_shape(self._wire_payload,
+                                                 *args)
+            self._spec = tree_spec(payload_shape)
+        return self._jitted_wire(*args)
 
     def unpack(self, packed_host):
         """Fetched uint8 buffer → (flags, emit, det_valid, landmarks)."""
@@ -747,15 +793,29 @@ def run_extract(
                              embedders, jpeg_writer,
                              resume_state=resume_state)
 
+    wire_fmt = cfg.wire_format
     fused = None
     if hasattr(detector, "variables") and (
             hasattr(detector, "_forward")
             or hasattr(detector, "forward_indexed")):
-        fused = FusedBlockStep(detector, tracker_cfg)
+        if wire_fmt == "yuv420-delta" and (d_h % 2 or d_w % 2):
+            print(f"wire_format=yuv420-delta needs even display dims, "
+                  f"got {d_w}x{d_h}; falling back to rgb",
+                  file=sys.stderr)
+            wire_fmt = "rgb"
+        fused = FusedBlockStep(detector, tracker_cfg,
+                               wire_format=wire_fmt, display_h=d_h)
+    elif wire_fmt != "rgb":
+        print("wire_format=yuv420-delta needs a fused-compatible "
+              "detector; falling back to rgb", file=sys.stderr)
+        wire_fmt = "rgb"
+    if wire_fmt != "rgb":
+        from facerec_tpu.ops import yuv as yuv_ops
 
     # per-phase wall time: where an underperforming e2e run spends it
     phase = {"decode": 0.0, "dispatch": 0.0, "upload": 0.0,
-             "fetch": 0.0, "consume": 0.0, "flush_dispatch": 0.0}
+             "encode": 0.0, "fetch": 0.0, "consume": 0.0,
+             "flush_dispatch": 0.0}
     phase_log = os.environ.get("FACEREC_PHASE_LOG", "") not in ("", "0")
     block_iter = reader.blocks(start_frame, end_overlap,
                                cfg.block_frames)
@@ -779,6 +839,31 @@ def run_extract(
             frames = np.concatenate(
                 [frames, np.repeat(frames[-1:], cfg.block_frames - real,
                                    axis=0)])
+        if wire_fmt == "yuv420-delta":
+            # wire encode (I420 + temporal delta) costs one cv2 pass +
+            # one memory pass on the host; it buys back multiples of
+            # that in wire time on transfer-bound links
+            t_enc = time.perf_counter()
+            wire = yuv_ops.encode_block(frames)
+            phase["encode"] += time.perf_counter() - t_enc
+            t_up = time.perf_counter()
+            dev_wire = jnp.asarray(wire)
+            phase["upload"] += time.perf_counter() - t_up
+            t_call = time.perf_counter()
+            packed, dev_frames, scene_state, tracker_state = \
+                fused.call_wire(dev_wire, scene_state, tracker_state,
+                                frame0)
+            if phase_log:
+                print(f"[phase] block f0={frame0} "
+                      f"encode={t_up - t_enc:.3f}s "
+                      f"upload={t_call - t_up:.3f}s "
+                      f"enqueue={time.perf_counter() - t_call:.3f}s",
+                      file=sys.stderr, flush=True)
+            return {"frame0": frame0, "frames": frames, "real": real,
+                    "packed": packed, "dev": dev_frames,
+                    "unpack": fused.unpack,
+                    "scene_state": scene_state,
+                    "tracker_state": tracker_state}
         t_up = time.perf_counter()
         dev_frames = jnp.asarray(frames)
         phase["upload"] += time.perf_counter() - t_up
@@ -1013,6 +1098,15 @@ def main(argv=None):
                              "blocks into one transfer (bytes are "
                              "identical at any setting; raise on "
                              "high-latency links)")
+    parser.add_argument("--wire-format", type=str, default="rgb",
+                        choices=["rgb", "yuv420-delta"],
+                        help="host→device pixel format; yuv420-delta "
+                             "ships delta-coded 4:2:0 planes (≥2x "
+                             "fewer wire bytes, reconstructed to RGB "
+                             "on device) at a few LSB of chroma "
+                             "requantization in device-side "
+                             "crops/features — speed opt-in for "
+                             "transfer-bound hosts")
     parser.add_argument("--mesh", type=int, default=0,
                         help="process N temporal shard spans "
                              "simultaneously on an N-device mesh "
@@ -1048,6 +1142,7 @@ def main(argv=None):
         block_frames=args.block_frames,
         decode_workers=args.decode_workers,
         fetch_every_blocks=args.fetch_every_blocks,
+        wire_format=args.wire_format,
         detector_long_side=args.detector_long_side or None)
     if args.mesh > 1:
         from facerec_tpu.parallel.extract_mesh import run_extract_mesh

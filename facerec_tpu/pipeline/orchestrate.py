@@ -201,6 +201,11 @@ def main(argv=None) -> int:
     parser.add_argument("--decode-workers", type=int, default=None,
                         help="parallel native decode workers for "
                              "extract")
+    parser.add_argument("--wire-format", type=str, default=None,
+                        choices=["rgb", "yuv420-delta"],
+                        help="extract host→device pixel format (see "
+                             "extract --help; yuv420-delta for "
+                             "transfer-bound hosts)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -209,7 +214,8 @@ def main(argv=None) -> int:
     pcfg = PipelineConfig()
     overrides = {k: v for k, v in (
         ("fetch_every_blocks", args.fetch_every_blocks),
-        ("decode_workers", args.decode_workers)) if v is not None}
+        ("decode_workers", args.decode_workers),
+        ("wire_format", args.wire_format)) if v is not None}
     if overrides:
         pcfg = _dc.replace(
             pcfg, extract=_dc.replace(pcfg.extract, **overrides))

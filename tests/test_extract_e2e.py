@@ -480,3 +480,50 @@ def test_grouped_fetch_crash_resume(clip, tmp_path, monkeypatch):
                 detector=PureScriptedDetector(clip, max_detections=8),
                 embedders=DeferredStubBank())
     _compare_shard_files(f"{clean}/125261-data", f"{crashed}/125261-data")
+
+
+def test_wire_format_yuv420_delta(clip, tmp_path):
+    """The delta-I420 wire format (cfg.wire_format, ops/yuv.py) runs
+    the same pipeline with half the upload bytes: scene cuts and
+    trajectories must match the RGB wire exactly (detections are
+    scripted; the synthetic cuts are far above the flag threshold),
+    feature records must cover the same faces, and the format must be
+    fetch-group invariant (byte-identical files across group sizes
+    within the mode)."""
+    import filecmp
+    import json
+
+    from facerec_tpu.video.synth import PureScriptedDetector
+
+    outs = {}
+    for name, wire, group in (("rgb", "rgb", 3),
+                              ("yuv", "yuv420-delta", 3),
+                              ("yuv1", "yuv420-delta", 1)):
+        out = str(tmp_path / name)
+        cfg = ExtractConfig(block_frames=16, max_detections=8,
+                            max_tracks=16, save_images=False,
+                            fetch_every_blocks=group, wire_format=wire)
+        run_extract(clip.path, cfg, out,
+                    detector=PureScriptedDetector(clip, max_detections=8),
+                    embedders=DeferredStubBank())
+        outs[name] = f"{out}/125261-data"
+
+    # fetch-group invariance within the yuv mode: all bytes equal
+    _compare_shard_files(outs["yuv"], outs["yuv1"])
+
+    # vs the RGB wire: identical cuts + trajectories (pixel-exact
+    # inputs to neither), features for the same (frame, box) faces
+    for sub in ("trajectories", "scene_changes"):
+        fa = sorted(os.listdir(f"{outs['rgb']}/{sub}"))
+        assert fa == sorted(os.listdir(f"{outs['yuv']}/{sub}"))
+        for f in fa:
+            assert filecmp.cmp(f"{outs['rgb']}/{sub}/{f}",
+                               f"{outs['yuv']}/{sub}/{f}",
+                               shallow=False), (sub, f)
+    (feat_a,) = os.listdir(f"{outs['rgb']}/features")
+    with open(f"{outs['rgb']}/features/{feat_a}") as fh:
+        recs_a = [json.loads(l) for l in fh]
+    with open(f"{outs['yuv']}/features/{feat_a}") as fh:
+        recs_b = [json.loads(l) for l in fh]
+    assert [(r["frame"], r["box"]) for r in recs_a] == \
+        [(r["frame"], r["box"]) for r in recs_b]

@@ -83,17 +83,27 @@ def delta_i420_to_rgb(delta: jnp.ndarray, height: int) -> jnp.ndarray:
     return i420_to_rgb(delta_decode(delta), height)
 
 
+def encode_delta(yuv_block: np.ndarray) -> np.ndarray:
+    """Host-side temporal delta over an absolute I420 block: the first
+    frame stays absolute, frames 1..B-1 become uint8 wraparound
+    differences (what :func:`delta_decode` undoes).  One memory pass;
+    the color conversion itself runs in the block reader's worker
+    threads (``pixel_format="i420"``)."""
+    delta = yuv_block.copy()
+    delta[1:] -= yuv_block[:-1]
+    return delta
+
+
 def encode_block(frames_rgb: np.ndarray) -> np.ndarray:
-    """Host-side wire encode: (B, H, W, 3) uint8 RGB → (B, H*3/2, W)
-    delta-I420.  The first frame is absolute; the rest are uint8
-    wraparound differences (what :func:`delta_decode` undoes)."""
+    """Host-side wire encode from RGB: (B, H, W, 3) uint8 →
+    (B, H*3/2, W) delta-I420 (cv2 conversion + :func:`encode_delta`).
+    The production loop reads I420 straight from the decoder and only
+    runs the delta; this full path serves tests and RGB-only
+    sources."""
     import cv2
 
-    yuv = np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420)
-                    for f in frames_rgb])
-    delta = yuv.copy()
-    delta[1:] -= yuv[:-1]
-    return delta
+    return encode_delta(np.stack([
+        cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in frames_rgb]))
 
 
 def i420_frame_to_rgb(frame_i420: np.ndarray) -> np.ndarray:

@@ -486,10 +486,22 @@ class ShardConsumer:
             faces_mod.embed_crop_box(tb, d_w, d_h) for tb in tight_boxes])
 
         if cfg.save_images:
+            rgb_memo: Dict[int, np.ndarray] = {}
             for i, p in enumerate(ready):
+                frame_px = self.pixel_window[self._block_of(p.frame)][
+                    p.frame - self._block_of(p.frame)]
+                if frame_px.ndim == 2:
+                    # delta-I420 wire mode: the window holds absolute
+                    # I420 planes; convert only frames that actually
+                    # save a face (exact cv2 conversion — JPEG images
+                    # don't inherit the device path's requantization)
+                    if p.frame not in rgb_memo:
+                        from facerec_tpu.ops.yuv import i420_frame_to_rgb
+
+                        rgb_memo[p.frame] = i420_frame_to_rgb(frame_px)
+                    frame_px = rgb_memo[p.frame]
                 faces_mod.save_face_image(
-                    self.pixel_window[self._block_of(p.frame)]
-                    [p.frame - self._block_of(p.frame)],
+                    frame_px,
                     p.posterior_box, d_w, d_h, self.dirs.images,
                     box_tag(self.movie_id, p.frame, tight_boxes[i]),
                     jpeg_writer=self.jpeg_writer)
@@ -783,34 +795,40 @@ def run_extract(
     block_bytes = cfg.block_frames * d_h * d_w * 3
     group = max(1, min(group, (3 << 30) // max(1, block_bytes)))
 
+    wire_fmt = cfg.wire_format
+    fused_ok = hasattr(detector, "variables") and (
+        hasattr(detector, "_forward")
+        or hasattr(detector, "forward_indexed"))
+    if wire_fmt == "yuv420-delta" and not fused_ok:
+        print("wire_format=yuv420-delta needs a fused-compatible "
+              "detector; falling back to rgb", file=sys.stderr)
+        wire_fmt = "rgb"
+    if wire_fmt == "yuv420-delta" and (d_h % 2 or d_w % 2):
+        print(f"wire_format=yuv420-delta needs even display dims, "
+              f"got {d_w}x{d_h}; falling back to rgb", file=sys.stderr)
+        wire_fmt = "rgb"
+    if wire_fmt != "rgb":
+        from facerec_tpu.ops import yuv as yuv_ops
+
     from facerec_tpu.video.reader import fetch_ring_blocks
 
+    # in the delta-I420 wire mode the reader emits planar 4:2:0
+    # blocks: the color conversion runs in its (GIL-free) worker
+    # threads, and the host pixel window holds absolute I420 frames
+    # (half the memory; JPEG saves convert per saved frame)
     reader = open_block_reader(
         file, info, cfg.block_frames, decode_workers=cfg.decode_workers,
-        ring_blocks=fetch_ring_blocks(group, cfg.block_frames, d_h, d_w))
+        ring_blocks=fetch_ring_blocks(group, cfg.block_frames, d_h, d_w),
+        pixel_format="i420" if wire_fmt == "yuv420-delta" else "rgb")
     jpeg_writer = make_jpeg_writer(cfg)
     consumer = ShardConsumer(dirs, movie_id, cfg, beg, end, d_w, d_h,
                              embedders, jpeg_writer,
                              resume_state=resume_state)
 
-    wire_fmt = cfg.wire_format
     fused = None
-    if hasattr(detector, "variables") and (
-            hasattr(detector, "_forward")
-            or hasattr(detector, "forward_indexed")):
-        if wire_fmt == "yuv420-delta" and (d_h % 2 or d_w % 2):
-            print(f"wire_format=yuv420-delta needs even display dims, "
-                  f"got {d_w}x{d_h}; falling back to rgb",
-                  file=sys.stderr)
-            wire_fmt = "rgb"
+    if fused_ok:
         fused = FusedBlockStep(detector, tracker_cfg,
                                wire_format=wire_fmt, display_h=d_h)
-    elif wire_fmt != "rgb":
-        print("wire_format=yuv420-delta needs a fused-compatible "
-              "detector; falling back to rgb", file=sys.stderr)
-        wire_fmt = "rgb"
-    if wire_fmt != "rgb":
-        from facerec_tpu.ops import yuv as yuv_ops
 
     # per-phase wall time: where an underperforming e2e run spends it
     phase = {"decode": 0.0, "dispatch": 0.0, "upload": 0.0,
@@ -840,11 +858,13 @@ def run_extract(
                 [frames, np.repeat(frames[-1:], cfg.block_frames - real,
                                    axis=0)])
         if wire_fmt == "yuv420-delta":
-            # wire encode (I420 + temporal delta) costs one cv2 pass +
-            # one memory pass on the host; it buys back multiples of
-            # that in wire time on transfer-bound links
+            # frames arrive as absolute I420 planes (the reader's
+            # worker threads did the color conversion); the wire
+            # encode left on the loop is one temporal-delta memory
+            # pass, which buys back multiples of its cost in wire
+            # time on transfer-bound links
             t_enc = time.perf_counter()
-            wire = yuv_ops.encode_block(frames)
+            wire = yuv_ops.encode_delta(frames)
             phase["encode"] += time.perf_counter() - t_enc
             t_up = time.perf_counter()
             dev_wire = jnp.asarray(wire)

@@ -39,7 +39,8 @@ def decode_lib():
             lib.frd_open.restype = ctypes.c_void_p
             lib.frd_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
-                                     ctypes.c_int, ctypes.c_int]
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int]
             lib.frd_info.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_int64)]
             lib.frd_start.argtypes = [ctypes.c_void_p, ctypes.c_int64,
@@ -88,16 +89,20 @@ class NativeVideoReader:
 
     def __init__(self, path: str, display_w: int, display_h: int,
                  block_frames: int, ring_blocks: int = 2,
-                 n_workers: int = 0):
+                 n_workers: int = 0, pixel_format: str = "rgb"):
         lib = decode_lib()
         if lib is None:
             raise RuntimeError("native decoder not built "
                                "(make -C native)")
         if n_workers == 0:
             n_workers = int(os.environ.get("FACEREC_DECODE_WORKERS", "0"))
+        if pixel_format not in ("rgb", "i420"):
+            raise ValueError(f"unknown pixel_format {pixel_format!r}")
+        self.pixel_format = pixel_format
         self.lib = lib
         self.handle = lib.frd_open(path.encode(), display_w, display_h,
-                                   block_frames, ring_blocks, n_workers)
+                                   block_frames, ring_blocks, n_workers,
+                                   1 if pixel_format == "i420" else 0)
         if not self.handle:
             raise ValueError(f"Invalid video file <{path}>")
         self.display_w = display_w
@@ -112,8 +117,13 @@ class NativeVideoReader:
 
     def blocks(self, beg: int, end: int) -> Iterator[Tuple[int, np.ndarray]]:
         self.lib.frd_start(self.handle, beg, end)
-        buf = np.empty((self.block_frames, self.display_h,
-                        self.display_w, 3), np.uint8)
+        if self.pixel_format == "i420":
+            buf = np.empty((self.block_frames,
+                            self.display_h * 3 // 2, self.display_w),
+                           np.uint8)
+        else:
+            buf = np.empty((self.block_frames, self.display_h,
+                            self.display_w, 3), np.uint8)
         first = ctypes.c_int64()
         while True:
             n = self.lib.frd_next_block(

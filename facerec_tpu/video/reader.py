@@ -80,13 +80,20 @@ def load_aspect_ratio_csv(csv_path: str,
 
 
 class VideoReader:
-    """Decode a frame range into fixed-size RGB blocks."""
+    """Decode a frame range into fixed-size RGB (or I420) blocks."""
 
-    def __init__(self, path: str, info: VideoInfo):
+    def __init__(self, path: str, info: VideoInfo,
+                 pixel_format: str = "rgb"):
         import cv2
 
+        if pixel_format not in ("rgb", "i420"):
+            raise ValueError(f"unknown pixel_format {pixel_format!r}")
+        if pixel_format == "i420" and (info.display_width % 2
+                                       or info.display_height % 2):
+            raise ValueError("i420 needs even display dims")
         self.cv2 = cv2
         self.info = info
+        self.pixel_format = pixel_format
         self.cap = cv2.VideoCapture(path)
 
     def seek(self, frame: int) -> None:
@@ -95,9 +102,11 @@ class VideoReader:
             raise RuntimeError(f"Couldn't seek to frame {frame}")
 
     def read_block(self, n: int) -> np.ndarray:
-        """Read up to ``n`` frames; returns (m, H, W, 3) uint8 RGB at
-        display resolution, m ≤ n (short at end of stream)."""
+        """Read up to ``n`` frames; returns (m, H, W, 3) uint8 RGB —
+        or (m, H*3/2, W) planar I420 — at display resolution, m ≤ n
+        (short at end of stream)."""
         info = self.info
+        i420 = self.pixel_format == "i420"
         frames = []
         for _ in range(n):
             ok, frame = self.cap.read()
@@ -107,10 +116,16 @@ class VideoReader:
                     or info.display_height != info.storage_height):
                 frame = self.cv2.resize(
                     frame, (info.display_width, info.display_height))
-            frames.append(frame[..., ::-1])  # BGR → RGB
+            if i420:
+                frames.append(self.cv2.cvtColor(
+                    frame, self.cv2.COLOR_BGR2YUV_I420))
+            else:
+                frames.append(frame[..., ::-1])  # BGR → RGB
         if not frames:
-            return np.zeros((0, info.display_height, info.display_width, 3),
-                            np.uint8)
+            shape = ((0, info.display_height * 3 // 2,
+                      info.display_width) if i420 else
+                     (0, info.display_height, info.display_width, 3))
+            return np.zeros(shape, np.uint8)
         return np.ascontiguousarray(np.stack(frames))
 
     def blocks(self, beg: int, end: int, block: int) -> Iterator[Tuple[int, np.ndarray]]:
@@ -144,7 +159,8 @@ class _NativeBlockAdapter:
 def open_block_reader(path: str, info: VideoInfo, block_frames: int,
                       prefer_native: bool = True,
                       decode_workers: int = 0,
-                      ring_blocks: int = 2):
+                      ring_blocks: int = 2,
+                      pixel_format: str = "rgb"):
     """Best available block reader: the native C++ block decoder when
     built (optionally with parallel decode workers), the OpenCV Python
     reader otherwise.
@@ -152,7 +168,12 @@ def open_block_reader(path: str, info: VideoInfo, block_frames: int,
     ``ring_blocks`` bounds how far the native decode workers run ahead
     of the consumer; group-fetch drivers raise it to the fetch group
     size so decode continues through the multi-second device→host
-    transfer of a group (see :func:`fetch_ring_blocks`)."""
+    transfer of a group (see :func:`fetch_ring_blocks`).
+
+    ``pixel_format="i420"`` emits (m, H*3/2, W) planar 4:2:0 blocks —
+    the color conversion then runs in the native reader's worker
+    threads instead of the caller's loop (the wire-format encode path,
+    facerec_tpu.ops.yuv)."""
     if prefer_native:
         try:
             from facerec_tpu.runtime.native import NativeVideoReader
@@ -160,11 +181,11 @@ def open_block_reader(path: str, info: VideoInfo, block_frames: int,
             native = NativeVideoReader(
                 path, info.display_width, info.display_height,
                 block_frames, ring_blocks=ring_blocks,
-                n_workers=decode_workers)
+                n_workers=decode_workers, pixel_format=pixel_format)
             return _NativeBlockAdapter(native)
         except (RuntimeError, ValueError, OSError):
             pass
-    return VideoReader(path, info)
+    return VideoReader(path, info, pixel_format=pixel_format)
 
 
 def fetch_ring_blocks(group: int, block_frames: int, height: int,

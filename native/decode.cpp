@@ -17,7 +17,12 @@
 //
 // C ABI (ctypes-friendly):
 //   frd_open(path, display_w, display_h, block_frames, ring_blocks,
-//            n_workers)                      (n_workers<=0: auto)
+//            n_workers, pixfmt)              (n_workers<=0: auto)
+//     pixfmt 0 = RGB24 (h*w*3 bytes/frame), 1 = I420 planar 4:2:0
+//     (h*3/2*w bytes/frame; even display dims required) — the wire
+//     format facerec_tpu.ops.yuv decodes on device, produced here in
+//     the GIL-free worker threads so the Python loop never pays the
+//     color conversion
 //   frd_info(handle, out_int64[4])   -> n_frames, width, height, fps_x1000
 //   frd_start(handle, begin_frame, end_frame)
 //   frd_next_block(handle, buf, out_first_frame) -> frames in block (0 = end)
@@ -56,6 +61,12 @@ struct Decoder {
   int block_frames = 0;
   int64_t ring_blocks = 0;
   int n_workers = 1;
+  int pixfmt = 0;  // 0 = RGB24, 1 = I420
+
+  size_t frame_bytes() const {
+    const size_t px = static_cast<size_t>(display_w) * display_h;
+    return pixfmt == 1 ? px * 3 / 2 : px * 3;
+  }
 
   int64_t n_frames = 0;
   int storage_w = 0;
@@ -100,10 +111,9 @@ struct Decoder {
       finish_worker();
       return;
     }
-    const size_t frame_bytes =
-        static_cast<size_t>(display_w) * display_h * 3;
+    const size_t fbytes = frame_bytes();
     int64_t pos = -1;  // frame index the capture will read next
-    cv::Mat bgr, resized, rgb;
+    cv::Mat bgr, resized, out;
     while (!stop.load()) {
       {
         // Stop claiming once the consumer saw a short block (decode
@@ -129,7 +139,7 @@ struct Decoder {
       }
       auto block = std::make_unique<Block>();
       block->first_frame = first;
-      block->data.resize(static_cast<size_t>(block_frames) * frame_bytes);
+      block->data.resize(static_cast<size_t>(block_frames) * fbytes);
       const int64_t end_here = std::min<int64_t>(first + block_frames, end_);
       int got = 0;
       while (pos < end_here) {
@@ -139,9 +149,10 @@ struct Decoder {
           cv::resize(bgr, resized, cv::Size(display_w, display_h));
           src = &resized;
         }
-        cv::cvtColor(*src, rgb, cv::COLOR_BGR2RGB);
-        std::memcpy(block->data.data() + got * frame_bytes, rgb.data,
-                    frame_bytes);
+        cv::cvtColor(*src, out, pixfmt == 1 ? cv::COLOR_BGR2YUV_I420
+                                            : cv::COLOR_BGR2RGB);
+        std::memcpy(block->data.data() + got * fbytes, out.data,
+                    fbytes);
         ++got;
         ++pos;
       }
@@ -170,9 +181,11 @@ struct Decoder {
 extern "C" {
 
 void* frd_open(const char* path, int display_w, int display_h,
-               int block_frames, int ring_blocks, int n_workers) {
+               int block_frames, int ring_blocks, int n_workers,
+               int pixfmt) {
   auto d = std::make_unique<Decoder>();
   d->path = path;
+  d->pixfmt = pixfmt;
   if (!d->probe.open(d->path)) return nullptr;
   d->n_frames = static_cast<int64_t>(d->probe.get(cv::CAP_PROP_FRAME_COUNT));
   if (d->n_frames <= 0) return nullptr;
@@ -181,6 +194,8 @@ void* frd_open(const char* path, int display_w, int display_h,
   d->fps = d->probe.get(cv::CAP_PROP_FPS);
   d->display_w = display_w > 0 ? display_w : d->storage_w;
   d->display_h = display_h > 0 ? display_h : d->storage_h;
+  if (pixfmt == 1 && (d->display_w % 2 || d->display_h % 2))
+    return nullptr;  // I420 needs even dims (caller falls back to RGB)
   d->block_frames = block_frames;
   // Default to sequential decode: parallel workers seek per claimed
   // block (CAP_PROP_POS_FRAMES), which is frame-accurate for
@@ -239,9 +254,8 @@ int frd_next_block(void* handle, uint8_t* buf, int64_t* out_first_frame) {
   }
   d->cv_space.notify_all();
   if (block->n_frames == 0) return 0;
-  const size_t frame_bytes =
-      static_cast<size_t>(d->display_w) * d->display_h * 3;
-  std::memcpy(buf, block->data.data(), block->n_frames * frame_bytes);
+  std::memcpy(buf, block->data.data(),
+              block->n_frames * d->frame_bytes());
   *out_first_frame = block->first_frame;
   return block->n_frames;
 }

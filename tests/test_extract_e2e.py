@@ -501,7 +501,7 @@ def test_wire_format_yuv420_delta(clip, tmp_path):
                               ("yuv1", "yuv420-delta", 1)):
         out = str(tmp_path / name)
         cfg = ExtractConfig(block_frames=16, max_detections=8,
-                            max_tracks=16, save_images=False,
+                            max_tracks=16, save_images=(name != "yuv1"),
                             fetch_every_blocks=group, wire_format=wire)
         run_extract(clip.path, cfg, out,
                     detector=PureScriptedDetector(clip, max_detections=8),
@@ -527,3 +527,7 @@ def test_wire_format_yuv420_delta(clip, tmp_path):
         recs_b = [json.loads(l) for l in fh]
     assert [(r["frame"], r["box"]) for r in recs_a] == \
         [(r["frame"], r["box"]) for r in recs_b]
+    # JPEG face images: same files saved (bytes may differ by the
+    # I420 chroma round trip of the host pixel window)
+    assert sorted(os.listdir(f"{outs['rgb']}/images")) == \
+        sorted(os.listdir(f"{outs['yuv']}/images"))

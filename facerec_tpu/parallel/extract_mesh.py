@@ -67,7 +67,8 @@ class MeshBlockStep:
     size; :meth:`unpack` restores the (n, ...) pytree.
     """
 
-    def __init__(self, mesh, detector, tracker_cfg: TrackerConfig):
+    def __init__(self, mesh, detector, tracker_cfg: TrackerConfig,
+                 wire_format: str = "rgb", display_h: int = 0):
         import jax
         from jax.sharding import PartitionSpec as P
 
@@ -75,6 +76,12 @@ class MeshBlockStep:
         from facerec_tpu.runtime.transfer import pack_tree
 
         fwd = _detector_forward(detector)
+        wire = wire_format == "yuv420-delta"
+        if wire_format not in ("rgb", "yuv420-delta"):
+            raise ValueError(f"unknown wire_format {wire_format!r}")
+        if wire:
+            from facerec_tpu.ops import yuv as yuv_ops
+        self.wire = wire
 
         def per_device(det_vars, frames, scene_state, tracker_state,
                        frame0):
@@ -82,6 +89,11 @@ class MeshBlockStep:
             scene_state = jax.tree.map(lambda x: x[0], scene_state)
             tracker_state = jax.tree.map(lambda x: x[0], tracker_state)
 
+            if wire:
+                # frames is the span's delta-I420 wire block; the
+                # reconstruction runs per device, fused ahead of the
+                # scene/detector body (ops/yuv.py)
+                frames = yuv_ops.delta_i420_to_rgb(frames, display_h)
             flags, scene_state = scene_ops._detect_block_impl(
                 frames, scene_state)
             det = fwd(det_vars, frames, frame0)
@@ -90,28 +102,36 @@ class MeshBlockStep:
                 frame0)
 
             lead = lambda t: jax.tree.map(lambda x: x[None], t)
-            return (flags[None], lead(det), lead(emit),
+            outs = (flags[None], lead(det), lead(emit),
                     lead(scene_state), lead(tracker_state))
+            if wire:
+                # reconstructed RGB stays device-resident for crops
+                outs += (frames[None],)
+            return outs
 
+        n_out = 6 if wire else 5
         sharded = jax.shard_map(
             per_device, mesh=mesh,
             in_specs=(P(), P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS),
                       P(FRAME_AXIS)),
-            out_specs=(P(FRAME_AXIS), P(FRAME_AXIS), P(FRAME_AXIS),
-                       P(FRAME_AXIS), P(FRAME_AXIS)),
+            out_specs=tuple(P(FRAME_AXIS) for _ in range(n_out)),
             check_vma=False,
         )
 
         def payload_fn(det_vars, frames, scene_state, tracker_state,
                        frame0):
-            flags, det, emit, _ss, _ts = sharded(
-                det_vars, frames, scene_state, tracker_state, frame0)
+            flags, det, emit = sharded(
+                det_vars, frames, scene_state, tracker_state, frame0)[:3]
             return (flags, emit, det.valid, det.landmarks)
 
         def step(det_vars, frames, scene_state, tracker_state, frame0):
-            flags, det, emit, scene_state, tracker_state = sharded(
-                det_vars, frames, scene_state, tracker_state, frame0)
+            out = sharded(det_vars, frames, scene_state, tracker_state,
+                          frame0)
+            flags, det, emit, scene_state, tracker_state = out[:5]
             payload = (flags, emit, det.valid, det.landmarks)
+            if wire:
+                return pack_tree(payload), out[5], scene_state, \
+                    tracker_state
             return pack_tree(payload), scene_state, tracker_state
 
         self._payload_fn = payload_fn
@@ -122,6 +142,9 @@ class MeshBlockStep:
 
     def __call__(self, det_vars, frames, scene_state, tracker_state,
                  frame0):
+        """rgb wire → (packed, scene_state, tracker_state);
+        yuv420-delta wire → (packed, reconstructed RGB (n, B, H, W, 3),
+        scene_state, tracker_state)."""
         if self._spec is None:
             from facerec_tpu.runtime.transfer import tree_spec
 
@@ -139,9 +162,11 @@ class MeshBlockStep:
 
         return unpack_tree(packed_host, *self._spec)
 
-def build_mesh_step(mesh, detector, tracker_cfg: TrackerConfig
+def build_mesh_step(mesh, detector, tracker_cfg: TrackerConfig,
+                    wire_format: str = "rgb", display_h: int = 0
                     ) -> MeshBlockStep:
-    return MeshBlockStep(mesh, detector, tracker_cfg)
+    return MeshBlockStep(mesh, detector, tracker_cfg,
+                         wire_format=wire_format, display_h=display_h)
 
 
 def run_extract_mesh(
@@ -164,12 +189,6 @@ def run_extract_mesh(
 
     from facerec_tpu.ops import scene as scene_ops
 
-    if cfg.wire_format != "rgb":
-        # the sharded mesh step takes RGB span blocks; the delta-I420
-        # wire decode (ops/yuv.py) is serial-loop only so far
-        raise NotImplementedError(
-            "--wire-format yuv420-delta is not supported with --mesh "
-            "yet; run the serial loop or use wire_format=rgb")
     if mesh is None:
         devices = jax.devices()
         n = mesh_size or len(devices)
@@ -285,24 +304,33 @@ def run_extract_mesh(
 
     from facerec_tpu.video.reader import fetch_ring_blocks
 
+    wire_fmt = cfg.wire_format
+    if wire_fmt == "yuv420-delta" and (d_h % 2 or d_w % 2):
+        print(f"wire_format=yuv420-delta needs even display dims, "
+              f"got {d_w}x{d_h}; falling back to rgb")
+        wire_fmt = "rgb"
+    wire = wire_fmt == "yuv420-delta"
+
     # n concurrent rings share the host-memory budget
     ring = fetch_ring_blocks(group, cfg.block_frames, d_h, d_w,
                              budget_bytes=(2 << 30) // max(1, n))
     readers = [open_block_reader(file, info, cfg.block_frames,
                                  decode_workers=cfg.decode_workers,
-                                 ring_blocks=ring)
+                                 ring_blocks=ring,
+                                 pixel_format="i420" if wire else "rgb")
                if active[i] else None
                for i, _ in enumerate(spans)]
     iters = [r.blocks(start_frames[i], stop, cfg.block_frames)
              if r is not None else iter(())
              for i, (r, (_, _, stop)) in enumerate(zip(readers, spans))]
 
-    step = build_mesh_step(mesh, detector, tracker_cfg)
+    step = build_mesh_step(mesh, detector, tracker_cfg,
+                           wire_format=wire_fmt, display_h=d_h)
     det_vars = getattr(detector, "variables", {})
 
     b = cfg.block_frames
-    last_frames = [np.zeros((b, d_h, d_w, 3), np.uint8)
-                   for _ in range(n)]
+    frame_shape = (b, d_h * 3 // 2, d_w) if wire else (b, d_h, d_w, 3)
+    last_frames = [np.zeros(frame_shape, np.uint8) for _ in range(n)]
     exhausted = [not active[i] for i in range(n)]
     counters: List[ExtractCounters] = []
 
@@ -455,10 +483,21 @@ def run_extract_mesh(
         # one-dispatch-per-group variant was measured 5× slower on the
         # tunnel harness — its group-sized jnp.stack re-ships every
         # frame byte a second time (see pipeline/extract.py).
-        dev_all = jnp.asarray(np.stack(blocks))
-        packed, scene_state, tracker_state = step(
-            det_vars, dev_all, scene_state, tracker_state,
-            jnp.asarray(frame0s))
+        host_step = np.stack(blocks)
+        if wire:
+            # temporal delta per span block (first frame absolute);
+            # the sharded step reconstructs RGB per device and returns
+            # it for the crop path, mirroring the serial yuv loop
+            delta = host_step.copy()
+            delta[:, 1:] -= host_step[:, :-1]
+            packed, dev_all, scene_state, tracker_state = step(
+                det_vars, jnp.asarray(delta), scene_state,
+                tracker_state, jnp.asarray(frame0s))
+        else:
+            dev_all = jnp.asarray(host_step)
+            packed, scene_state, tracker_state = step(
+                det_vars, dev_all, scene_state, tracker_state,
+                jnp.asarray(frame0s))
         staged.append({"packed": packed, "blocks": blocks,
                        "frame0s": frame0s, "reals": reals,
                        "dev": dev_all, "scene_state": scene_state,

@@ -226,3 +226,35 @@ def test_pure_scripted_detector_paths_agree(clip):
     pure = det.forward_indexed(det.variables, frames, jnp.int32(10))
     for a, b in zip(host, pure):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mesh_yuv_wire_byte_identical_to_serial_yuv(clip, tmp_path):
+    """The delta-I420 wire on the mesh path: each span ships planar
+    4:2:0 deltas and the sharded step reconstructs RGB per device —
+    shard files must be byte-identical to a serial --n-shards run in
+    the SAME wire mode (both paths requantize chroma identically)."""
+    out_serial = str(tmp_path / "serial")
+    for i in range(N_DEV):
+        scfg = ExtractConfig(n_shards=N_DEV, shard_i=i, block_frames=16,
+                             max_detections=8, max_tracks=16,
+                             wire_format="yuv420-delta")
+        run_extract(clip.path, scfg, out_serial,
+                    detector=PureScriptedDetector(clip, max_detections=8),
+                    embedders=StubEmbedderBank())
+
+    out_mesh = str(tmp_path / "mesh")
+    cfg = ExtractConfig(block_frames=16, max_detections=8,
+                        max_tracks=16, wire_format="yuv420-delta")
+    mesh = frame_mesh(jax.devices()[:N_DEV])
+    counters = run_extract_mesh(
+        clip.path, cfg, out_mesh, mesh=mesh,
+        detector=PureScriptedDetector(clip, max_detections=8),
+        embedders=StubEmbedderBank())
+    assert len(counters) == N_DEV
+
+    for sub in ("trajectories", "features", "scene_changes", "images"):
+        a = _tree_bytes(f"{out_serial}/125261-data/{sub}")
+        b = _tree_bytes(f"{out_mesh}/125261-data/{sub}")
+        assert set(a) == set(b), (sub, set(a) ^ set(b))
+        for rel in a:
+            assert a[rel] == b[rel], f"{sub}/{rel} differs"

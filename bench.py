@@ -176,8 +176,8 @@ def bench_e2e(n_frames: int, worker_settings,
                 c = rep[stage]["counters"]
                 log("  phases: " + " ".join(
                     f"{p}={c.get(p + '_seconds', '?')}s"
-                    for p in ("decode", "dispatch", "upload", "fetch",
-                              "consume", "flush_dispatch")))
+                    for p in ("decode", "encode", "dispatch", "upload",
+                              "fetch", "consume", "flush_dispatch")))
             except (OSError, ValueError, KeyError):
                 pass
 

@@ -63,7 +63,12 @@ def _axis_plan(n_in: int, n_out: int) -> Optional[_AxisPlan]:
     gi, go = n_in // g, n_out // g
     if g < _MIN_GROUPS or go > _MAX_PHASE:
         return None
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    # ensure_compile_time_eval: the plan is static host-side data; when
+    # _axis_plan is first reached INSIDE a jit trace (e.g. the fused
+    # extract block program), eye/resize must run eagerly, not stage
+    # tracers into the outer computation.
+    with jax.ensure_compile_time_eval(), \
+            jax.default_device(jax.local_devices(backend="cpu")[0]):
         eye = jnp.eye(n_in, dtype=jnp.float32)
         R = np.asarray(jax.image.resize(eye, (n_out, n_in), "bilinear"))
 

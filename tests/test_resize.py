@@ -31,6 +31,22 @@ def test_upscale_and_identity_fall_back(rng):
     assert float(jnp.abs(want - got).max()) < 2e-3
 
 
+def test_first_use_inside_jit_trace(rng):
+    """Plan extraction must work when first reached INSIDE a jit trace
+    (the fused extract block program does exactly this): the eye/resize
+    weight probe must evaluate eagerly, not stage tracers."""
+    _axis_plan.cache_clear()
+    x = jnp.asarray(rng.uniform(0, 255, (1, 432, 576, 3)), jnp.float32)
+
+    @jax.jit
+    def f(x):
+        return letterbox_resize(x, (288, 384), method="periodic")
+
+    got = f(x)
+    want = jax.image.resize(x, (1, 288, 384, 3), "bilinear")
+    assert float(jnp.abs(want - got).max()) < 2e-3
+
+
 def test_detector_detections_identical_across_resize_paths(rng,
                                                            monkeypatch):
     """The parity requirement: periodic-resize detections == XLA-resize

@@ -293,13 +293,15 @@ class DetectorHarness:
 
         # Letterbox in the model's compute dtype: the f32 resize of a
         # full frame block is pure HBM traffic (~7 ms/block at 576×768
-        # b64) and halves in bf16 with no effect on detections.  (A
-        # separable-matmul resize is faster standalone but fuses
-        # catastrophically inside the single-program extract block —
-        # measured 17× slower end-to-end.  The gather-free periodic
-        # strided-slice formulation in ops/resize.py is elementwise and
-        # fusion-friendly instead; opt in with FACEREC_RESIZE=periodic
-        # pending an on-chip A/B inside the fused program.)
+        # b64) and halves in bf16 with no effect on detections.  Both
+        # alternative formulations LOSE inside the fused block program
+        # on-chip (scripts/resize_ab.py): a separable-matmul resize
+        # measured 17× slower end-to-end, and the gather-free periodic
+        # strided-slice path (ops/resize.py) — detections bit-identical
+        # — measured 42.4 vs 30.3 ms/block (its go×K slice terms defeat
+        # XLA's fusion here the same way).  jax.image.resize stays the
+        # default; FACEREC_RESIZE=periodic remains for re-measuring on
+        # future compiler versions.
         import os as _os
 
         x = frames.astype(self.model.dtype)

@@ -18,10 +18,13 @@ the first and last output groups (edge-clamped weights) are computed
 from the dense rows directly.  Axes whose sizes don't reduce to a
 small periodic pattern fall back to ``jax.image.resize``.
 
-The periodic path is opt-in for the detector harness via
-``FACEREC_RESIZE=periodic`` until an on-chip A/B confirms it wins
-inside the fused block program (a separable-MATMUL resize measured
-17× slower there — fusion behaviour, not arithmetic, is the risk).
+On-chip A/B verdict (scripts/resize_ab.py, v5e, fused extract block
+at 576×768→384×512): detections bit-identical to jax.image.resize,
+but 42.4 vs 30.3 ms/block — the go×K strided-slice terms lose to the
+dense banded contraction once fused into the block program (the same
+fusion behaviour that made a separable-MATMUL resize 17× slower).
+``FACEREC_RESIZE=periodic`` stays as an opt-in for re-measuring on
+future compiler versions; ``xla`` is the production default.
 """
 from __future__ import annotations
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -334,6 +335,14 @@ def run_extract_mesh(
     exhausted = [not active[i] for i in range(n)]
     counters: List[ExtractCounters] = []
 
+    # per-phase wall time, same keys as the serial loop (SURVEY §5.5):
+    # where an underperforming mesh host spends it.  decode covers all
+    # n span readers' waits; upload/dispatch/fetch are the mesh-wide
+    # lockstep rows.
+    phase = {"decode": 0.0, "dispatch": 0.0, "upload": 0.0,
+             "encode": 0.0, "fetch": 0.0, "consume": 0.0,
+             "flush_dispatch": 0.0}
+
     def finish_span(i: int) -> None:
         """Close a span once all its blocks are consumed and flushed
         (after the pipeline drain): its .done marker makes a crashed
@@ -400,7 +409,10 @@ def run_extract_mesh(
 
     def collect_fetch() -> None:
         nonlocal inflight
+        t0 = time.perf_counter()
         buf = np.asarray(inflight["joined"])
+        phase["fetch"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         off = 0
         for i, pe in inflight["deferred"]:
             consumers[i].complete_flush(pe, buf[off:off + pe.nbytes])
@@ -412,6 +424,7 @@ def run_extract_mesh(
         assert off == buf.size, (off, buf.size)
         inflight = None
         # one crop+embed dispatch PER SPAN for the whole group
+        t_fd = time.perf_counter()
         for i in range(n):
             if consumers[i] is None:
                 continue
@@ -421,6 +434,8 @@ def run_extract_mesh(
                     consumers[i].complete_flush(pe)
                 else:
                     deferred.append((i, pe))
+        phase["flush_dispatch"] += time.perf_counter() - t_fd
+        phase["consume"] += time.perf_counter() - t0
 
     def maybe_checkpoint() -> None:
         nonlocal last_ckpt, deferred
@@ -452,6 +467,7 @@ def run_extract_mesh(
         last_ckpt = steps_consumed
 
     while not all(exhausted):
+        t_dec = time.perf_counter()
         reals = [0] * n
         frame0s = np.zeros(n, np.int32)
         blocks = []
@@ -483,21 +499,33 @@ def run_extract_mesh(
         # one-dispatch-per-group variant was measured 5× slower on the
         # tunnel harness — its group-sized jnp.stack re-ships every
         # frame byte a second time (see pipeline/extract.py).
+        phase["decode"] += time.perf_counter() - t_dec
         host_step = np.stack(blocks)
         if wire:
             # temporal delta per span block (first frame absolute);
             # the sharded step reconstructs RGB per device and returns
             # it for the crop path, mirroring the serial yuv loop
+            t_enc = time.perf_counter()
             delta = host_step.copy()
             delta[:, 1:] -= host_step[:, :-1]
+            phase["encode"] += time.perf_counter() - t_enc
+            t_up = time.perf_counter()
+            dev_wire = jnp.asarray(delta)
+            phase["upload"] += time.perf_counter() - t_up
+            t_disp = time.perf_counter()
             packed, dev_all, scene_state, tracker_state = step(
-                det_vars, jnp.asarray(delta), scene_state,
+                det_vars, dev_wire, scene_state,
                 tracker_state, jnp.asarray(frame0s))
+            phase["dispatch"] += time.perf_counter() - t_disp
         else:
+            t_up = time.perf_counter()
             dev_all = jnp.asarray(host_step)
+            phase["upload"] += time.perf_counter() - t_up
+            t_disp = time.perf_counter()
             packed, scene_state, tracker_state = step(
                 det_vars, dev_all, scene_state, tracker_state,
                 jnp.asarray(frame0s))
+            phase["dispatch"] += time.perf_counter() - t_disp
         staged.append({"packed": packed, "blocks": blocks,
                        "frame0s": frame0s, "reals": reals,
                        "dev": dev_all, "scene_state": scene_state,
@@ -543,6 +571,8 @@ def run_extract_mesh(
             report.set(name, value)
         report.set("spans", n)
         report.set("steps", steps_done)
+        for name, value in phase.items():
+            report.set(f"{name}_seconds", round(value, 3))
         report.write(dirs.root)
     print(f"Saved {total.saved_boxes} boxes from "
           f"{total.saved_frames} different frames")

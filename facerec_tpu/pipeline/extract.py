@@ -467,11 +467,16 @@ class ShardConsumer:
                if watermark is None or p.frame <= watermark]
         later = [p for p in self.pending
                  if not (watermark is None or p.frame <= watermark)]
-        # keep not-yet-decided tracks pending (can only happen at block
-        # boundaries when watermark outruns a freshly spawned track)
+        # keep not-yet-decided tracks pending (defensive: validity is
+        # decidable within min_hits frames of any detection, so due
+        # faces are normally always decided); re-queue them AHEAD of
+        # later blocks' faces so pending stays frame-sorted and
+        # features.jsonl records stay monotone in frame like the
+        # reference's, which writes per processed frame in order
+        # (/root/reference/facerec/extract.py:186-195)
         undecided = [p for p in due
                      if self.assembler.track_valid(p.uid) is None]
-        self.pending = later + (undecided if watermark is not None else [])
+        self.pending = (undecided if watermark is not None else []) + later
         ready = [p for p in due
                  if p.frame % cfg.save_every == 0
                  and self.assembler.track_valid(p.uid)]

@@ -99,6 +99,8 @@ class NativeVideoReader:
         if pixel_format not in ("rgb", "i420"):
             raise ValueError(f"unknown pixel_format {pixel_format!r}")
         self.pixel_format = pixel_format
+        # resolved worker count (frd_open treats <=0 as sequential)
+        self.n_workers = max(1, n_workers)
         self.lib = lib
         self.handle = lib.frd_open(path.encode(), display_w, display_h,
                                    block_frames, ring_blocks, n_workers,

@@ -16,6 +16,7 @@ from __future__ import annotations
 import csv
 import dataclasses
 import os
+import sys
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -156,6 +157,50 @@ class _NativeBlockAdapter:
         self.native.close()
 
 
+# (path, n_workers, pixel_format, block_frames) → bool probe verdict;
+# one probe per film/config, not one per open (the mesh path opens n
+# readers on the same file)
+_seek_probe_cache: dict = {}
+
+
+def _parallel_seek_probe(path: str, info: VideoInfo, block_frames: int,
+                         n_workers: int, pixel_format: str) -> bool:
+    """True iff ``n_workers``-parallel decode of the first blocks is
+    bit-identical to sequential decode of the same range.
+
+    Parallel decode workers seek per claimed block
+    (``CAP_PROP_POS_FRAMES``, native/decode.cpp), which is
+    frame-accurate for closed-GOP film files but not guaranteed for
+    every codec/container; the reference never risks per-block seeks
+    (it seeks once per shard, /root/reference/facerec/extract.py:
+    230-234).  This probe makes the multi-worker opt-in safe: decoding
+    two blocks twice costs a few hundred frames once per film, and a
+    mismatch drops the reader to 1 worker instead of silently
+    producing wrong frames."""
+    from facerec_tpu.runtime import native as native_mod
+
+    key = (path, n_workers, pixel_format, block_frames)
+    if key in _seek_probe_cache:
+        return _seek_probe_cache[key]
+    end = min(info.n_frames, 2 * block_frames)
+    outs = []
+    for w in (1, n_workers):
+        r = native_mod.NativeVideoReader(
+            path, info.display_width, info.display_height, block_frames,
+            ring_blocks=n_workers + 1, n_workers=w,
+            pixel_format=pixel_format)
+        try:
+            outs.append(list(r.blocks(0, end)))
+        finally:
+            r.close()
+    seq, par = outs
+    ok = (len(seq) == len(par)
+          and all(fa == fb and a.shape == b.shape and np.array_equal(a, b)
+                  for (fa, a), (fb, b) in zip(seq, par)))
+    _seek_probe_cache[key] = ok
+    return ok
+
+
 def open_block_reader(path: str, info: VideoInfo, block_frames: int,
                       prefer_native: bool = True,
                       decode_workers: int = 0,
@@ -182,6 +227,20 @@ def open_block_reader(path: str, info: VideoInfo, block_frames: int,
                 path, info.display_width, info.display_height,
                 block_frames, ring_blocks=ring_blocks,
                 n_workers=decode_workers, pixel_format=pixel_format)
+            if (native.n_workers > 1
+                    and os.environ.get("FACEREC_SEEK_CHECK", "1") != "0"
+                    and not _parallel_seek_probe(
+                        path, info, block_frames, native.n_workers,
+                        pixel_format)):
+                print(f"WARNING: parallel decode seek probe failed for "
+                      f"{os.path.basename(path)} (per-block seeks are "
+                      f"not frame-accurate here); falling back to 1 "
+                      f"decode worker", file=sys.stderr, flush=True)
+                native.close()
+                native = NativeVideoReader(
+                    path, info.display_width, info.display_height,
+                    block_frames, ring_blocks=ring_blocks,
+                    n_workers=1, pixel_format=pixel_format)
             return _NativeBlockAdapter(native)
         except (RuntimeError, ValueError, OSError):
             pass

@@ -531,3 +531,71 @@ def test_wire_format_yuv420_delta(clip, tmp_path):
     # I420 chroma round trip of the host pixel window)
     assert sorted(os.listdir(f"{outs['rgb']}/images")) == \
         sorted(os.listdir(f"{outs['yuv']}/images"))
+
+
+def test_plan_flush_requeue_keeps_frame_order(tmp_path):
+    """An UNDECIDED face re-queued at a block boundary must re-enter
+    pending AHEAD of later blocks' faces, so features.jsonl records
+    stay monotone in frame like the reference's, which writes per
+    processed frame in order (/root/reference/facerec/extract.py:
+    186-195).  The undecided branch is defensive (track validity is
+    decidable within min_hits frames of any detection on the normal
+    path), so this pins plan_flush's re-queue ordering directly.
+    VERDICT r3 weak #5."""
+    from facerec_tpu.contract.naming import MovieDirs
+    from facerec_tpu.pipeline import faces as faces_mod
+    from facerec_tpu.pipeline.extract import ShardConsumer
+
+    dirs = MovieDirs.create(str(tmp_path), 125261)
+    cfg = ExtractConfig(block_frames=8, save_images=False, save_every=1)
+    cons = ShardConsumer(dirs, 125261, cfg, 0, 16, 192, 144,
+                         StubEmbedderBank())
+    validity = {0: True, 1: None}
+    cons.assembler.track_valid = lambda uid: validity.get(uid)
+    cons.pixel_window[0] = np.zeros((16, 144, 192, 3), np.uint8)
+
+    def face(frame, uid):
+        return faces_mod.PendingFace(
+            frame=frame, uid=uid,
+            posterior_box=np.array([10.0, 10.0, 50.0, 60.0]),
+            landmarks=np.zeros((5, 2), np.float32))
+
+    # block-0 flush: face@4 (uid 1) is undecided and re-queues; faces
+    # @6,7 (uid 0) sit in the later-queue at the same moment
+    cons.pending = [face(4, 1), face(6, 0), face(7, 0)]
+    cons.flush_faces(5)
+    assert [p.frame for p in cons.pending] == [4, 6, 7]
+    validity[1] = True        # decided during the next block
+    cons.pending += [face(8, 0), face(9, 0)]
+    cons.flush_faces(None)
+    cons.finish()
+
+    feats = list(records.read_jsonl(
+        f"{dirs.features}/features_125261_0-16.jsonl"))
+    assert [f["frame"] for f in feats] == [4, 6, 7, 8, 9]
+
+
+def test_feature_records_frame_ordered_e2e(tmp_path):
+    """End-to-end invariant: features.jsonl is monotone in frame (with
+    cuts, flickering detections and grouped fetches in play)."""
+    from facerec_tpu.video.synth import PureScriptedDetector
+
+    path = str(tmp_path / "125261-Order.mp4")
+    clip = make_clip(path, n_frames=48, cuts=(20,), seed=11)
+    det = PureScriptedDetector(clip, max_detections=8)
+    # face 1 flickers around block boundaries
+    v = det.variables["valid"]
+    v[:4, 1] = False
+    v[5:8, 1] = False
+
+    out = str(tmp_path / "out")
+    cfg = ExtractConfig(block_frames=8, max_detections=8, max_tracks=16,
+                        save_images=False, save_every=1,
+                        fetch_every_blocks=3)
+    run_extract(clip.path, cfg, out, detector=det,
+                embedders=DeferredStubBank())
+
+    feats = list(records.read_jsonl(
+        f"{out}/125261-data/features/features_125261_0-48.jsonl"))
+    frames = [f["frame"] for f in feats]
+    assert frames and frames == sorted(frames)

@@ -80,6 +80,24 @@ def test_mesh_writes_byte_identical_shard_files(both_runs):
             assert a[rel] == b[rel], f"{sub}/{rel} differs"
 
 
+def test_mesh_run_report_has_phase_breakdown(both_runs):
+    """The mesh loop writes the same per-phase wall-time keys as the
+    serial loop (SURVEY §5.5) — the tool needed to tune a
+    transfer-bound mesh host.  VERDICT r3 weak #6."""
+    _, out_mesh, _ = both_runs
+    rep = json.load(open(f"{out_mesh}/125261-data/run_report.json"))
+    (stage,) = [k for k in rep if k.startswith("extract_mesh_")]
+    c = rep[stage]["counters"]
+    for p in ("decode", "encode", "dispatch", "upload", "fetch",
+              "consume", "flush_dispatch"):
+        assert f"{p}_seconds" in c, p
+        assert c[f"{p}_seconds"] >= 0
+    # phases actually accumulated (sub-ms phases round to 0.0 on a
+    # tiny CPU run, but decode wall time is always visible)
+    assert c["decode_seconds"] > 0
+    assert c["spans"] == N_DEV
+
+
 def test_mesh_merge_matches_serial_and_unsharded(both_runs, clip,
                                                  tmp_path):
     """Merged mesh output is byte-identical to merged serial-shard

@@ -110,19 +110,28 @@ def load_detector_harness(path: str, dtype: Any = None,
             f"Detector weights not found: {path!r} is not an orbax "
             f"checkpoint directory")
     d = dtype or jnp.float32
-    # The backbone width is a property of the checkpoint (stem kernel
-    # is (12, 12, 3, width)), not a runtime knob: restore raw, infer,
-    # then shape-check against a matching-width init template.
+    # Architecture hyperparameters are a property of the checkpoint,
+    # not a runtime knob.  Distilled checkpoints carry a
+    # `<path>.model.json` sidecar (train/distill.py) with the exact
+    # FaceDetector kwargs; otherwise infer the backbone width from the
+    # stem kernel ((12, 12, 3, width)) and assume defaults elsewhere.
     raw = W.load_params(os.path.abspath(path))
-    try:
-        stems = [l for l in jax.tree.leaves(raw["params"]["stem"])
-                 if getattr(l, "ndim", 0) == 4]
-        width = int(stems[0].shape[-1])
-    except (KeyError, IndexError) as e:
-        raise WeightsNotFoundError(
-            f"Detector checkpoint {path!r} has no recognizable stem "
-            f"parameters: {e!r}")
-    model = FaceDetector(dtype=d, backbone_width=width)
+    sidecar = os.path.abspath(path) + ".model.json"
+    if os.path.exists(sidecar):
+        import json
+
+        with open(sidecar) as f:
+            model_kwargs = json.load(f)
+    else:
+        try:
+            stems = [l for l in jax.tree.leaves(raw["params"]["stem"])
+                     if getattr(l, "ndim", 0) == 4]
+            model_kwargs = {"backbone_width": int(stems[0].shape[-1])}
+        except (KeyError, IndexError) as e:
+            raise WeightsNotFoundError(
+                f"Detector checkpoint {path!r} has no recognizable stem "
+                f"parameters: {e!r}")
+    model = FaceDetector(dtype=d, **model_kwargs)
     # Parameter shapes are spatial-size independent (fully
     # convolutional), so a small init suffices as the restore template.
     template = model.init(jax.random.PRNGKey(0),

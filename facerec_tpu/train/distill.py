@@ -214,6 +214,11 @@ def distill(film: str, truth_path: str, out: str, steps: int,
         if step % log_every == 0:
             print(f"step {step}: loss {losses[-1]:.4f}", flush=True)
     save_params(os.path.abspath(out), variables)
+    # self-describing checkpoint: record the model hyperparameters so
+    # load_detector_harness reconstructs non-default architectures
+    # (fpn_features etc.) without the caller re-supplying them
+    with open(os.path.abspath(out) + ".model.json", "w") as f:
+        json.dump(model_kwargs or {}, f)
     print(f"saved distilled detector checkpoint to {out}")
     return losses
 

@@ -239,3 +239,99 @@ def test_distill_trains_and_checkpoint_loads(clip, tmp_path):
                               max_detections=4, score_threshold=0.5)
     det = h(jnp.zeros((1, 48, 64, 3), jnp.uint8))
     assert det.boxes.shape[0] == 1
+
+
+# ------------------------------------------------------- parity rehearsal
+
+@pytest.mark.slow
+def test_parity_rehearsal_end_to_end(tmp_path):
+    """The one-command migration validator (VERDICT r3 next-step #3):
+    refimpl-generated 'reference' features on a synthetic clip →
+    distill → detector_eval → production extract → embedding_eval →
+    single pass/fail report.  Also proves the FAIL branch and the CLI
+    exit code with an existing checkpoint."""
+    from facerec_tpu.config import ExtractConfig
+    from facerec_tpu.pipeline.extract import run_extract
+    from facerec_tpu.tools.parity_rehearsal import main, run_rehearsal
+    from facerec_tpu.video.synth import ScriptedDetector, make_clip
+    from tests.test_extract_e2e import StubEmbedderBank
+
+    clip = make_clip(str(tmp_path / "99-Rehearse.mp4"), n_frames=32,
+                     cuts=(), seed=7)
+    # the stand-in "reference pipeline run" (same record schema as
+    # /root/reference/facerec/extract.py:186-195)
+    refout = str(tmp_path / "ref")
+    cfg = ExtractConfig(block_frames=16, max_detections=8, max_tracks=16,
+                        save_images=False, save_every=2, resume=False)
+    run_extract(clip.path, cfg, refout,
+                detector=ScriptedDetector(clip, max_detections=8),
+                embedders=StubEmbedderBank())
+    ref_feats = f"{refout}/99-data/features/features_99_0-32.jsonl"
+
+    out = str(tmp_path / "rehearsal")
+    # extract at a calibration-appropriate threshold: a freshly
+    # distilled model's scores are not MTCNN-calibrated, so the 0.95
+    # reference default would save nothing
+    extract_cfg = ExtractConfig(block_frames=16, max_detections=8,
+                                max_tracks=16, save_images=False,
+                                save_every=2, resume=False,
+                                detector_long_side=96,
+                                face_threshold=0.5)
+    rep = run_rehearsal(
+        clip.path, ref_feats, out, steps=600, long_side=96,
+        model_kwargs={"backbone_width": 32, "fpn_features": 16},
+        distill_kwargs={"batch_size": 4, "learning_rate": 3e-3},
+        max_p95=0.05, min_recall=0.5, min_precision=0.5,
+        extract_cfg=extract_cfg, embedders=StubEmbedderBank())
+
+    assert rep["pass"] is True
+    assert rep["detector"]["pass"] is True
+    assert rep["detector"]["recall"] >= 0.5
+    assert rep["embeddings"]["pass"] is True
+    assert rep["embeddings"]["n_matched"] > 0
+    assert os.path.exists(f"{out}/parity_report.json")
+    assert json.load(open(f"{out}/parity_report.json"))["pass"] is True
+
+    # FAIL branch: impossible gate, reusing the distilled checkpoint
+    rep2 = run_rehearsal(
+        clip.path, ref_feats, str(tmp_path / "r2"),
+        detector_weights=f"{out}/detector_ckpt", long_side=96,
+        max_p95=0.05, min_recall=1.01, min_precision=0.5,
+        extract_cfg=extract_cfg, embedders=StubEmbedderBank())
+    assert rep2["detector"]["pass"] is False
+    assert rep2["pass"] is False
+
+
+@pytest.mark.slow
+def test_parity_rehearsal_cli_exit_codes(tmp_path):
+    """CLI surface: --detector-weights skips distill; exit 1 on a
+    failing gate.  (The embedding gate fails here because the CLI path
+    builds the REAL FaceNet bank with random weights — exactly what a
+    user without --facenet-weights should see.)"""
+    from facerec_tpu.config import ExtractConfig
+    from facerec_tpu.pipeline.extract import run_extract
+    from facerec_tpu.tools.parity_rehearsal import main
+    from facerec_tpu.train.distill import distill
+    from facerec_tpu.video.synth import ScriptedDetector, make_clip
+    from tests.test_extract_e2e import StubEmbedderBank
+
+    clip = make_clip(str(tmp_path / "98-Cli.mp4"), n_frames=16,
+                     cuts=(), seed=9)
+    refout = str(tmp_path / "ref")
+    cfg = ExtractConfig(block_frames=16, max_detections=8, max_tracks=16,
+                        save_images=False, save_every=2, resume=False)
+    run_extract(clip.path, cfg, refout,
+                detector=ScriptedDetector(clip, max_detections=8),
+                embedders=StubEmbedderBank())
+    ref_feats = f"{refout}/98-data/features/features_98_0-16.jsonl"
+    ckpt = str(tmp_path / "ckpt")
+    distill(clip.path, ref_feats, ckpt, steps=3, batch_size=2,
+            input_size=(96, 96),
+            model_kwargs={"backbone_width": 32, "fpn_features": 16})
+
+    rc = main(["--film", clip.path, "--ref-features", ref_feats,
+               "--out", str(tmp_path / "out"),
+               "--detector-weights", ckpt, "--long-side", "96",
+               "--min-recall", "0", "--min-precision", "0",
+               "--max-eval-frames", "4"])
+    assert rc == 1   # random FaceNet bank cannot pass embedding parity

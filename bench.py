@@ -2,7 +2,7 @@
 """Headline benchmark: extract-pipeline frames/sec on one chip.
 
 Budget-safe by construction: the whole run operates under a hard
-wall-clock budget (``FACEREC_BENCH_BUDGET`` seconds, default 360) with
+wall-clock budget (``FACEREC_BENCH_BUDGET`` seconds, default 480) with
 a SIGALRM watchdog, so the benchmark ALWAYS prints its headline JSON
 and exits 0 inside the harness budget — legs that no longer fit are
 skipped with a log line instead of starving the output (round-3
@@ -20,12 +20,14 @@ Three JSON lines, in print order:
    and REPEATED as the final line so single-metric consumers of the
    tail record it.
 2. ``extract_e2e_frames_per_sec_per_chip`` ``config=parity`` — the
-   REAL production loop end to end with the parity-first defaults
-   (``wire_format=rgb``, native-resolution detector): native C++
-   decode, host→device upload, fused device program (full detector
-   FLOPs; detections overlaid from the synthetic clip's ground truth
-   so the crop/embed/JPEG load is realistic), group-batched fetches,
-   JPEG face images and contract files.  This is the number to hold
+   REAL production loop end to end in a BYTE-EXACT configuration
+   (``wire_format=rgb-delta`` — losslessly undone on device,
+   ops/yuv.delta_decode; every output byte identical to plain rgb —
+   and the native-resolution detector): native C++ decode,
+   host→device upload, fused device program (full detector FLOPs;
+   detections overlaid from the synthetic clip's ground truth so the
+   crop/embed/JPEG load is realistic), group-batched fetches, JPEG
+   face images and contract files.  This is the number to hold
    against BASELINE.md's budget: the reference provisions 100 SLURM
    GPU shards × ~1800 frames in 3 h ⇒ ~16.7 frames/s for the whole
    cluster (/root/reference/scripts/extract.sh:11-12, readme.txt:13).
@@ -51,7 +53,7 @@ import time
 import numpy as np
 
 T0 = time.perf_counter()
-BUDGET = float(os.environ.get("FACEREC_BENCH_BUDGET", "360"))
+BUDGET = float(os.environ.get("FACEREC_BENCH_BUDGET", "480"))
 
 BASELINE_FPS = 180_000 / (3 * 3600)   # reference cluster budget
 
@@ -316,8 +318,13 @@ def run_default(args) -> None:
 
         e2e_legs = [
             # parity first: the claim that matters (beats the 16.7 fps
-            # cluster budget) must be on record for the PARITY path
-            ("parity", NATIVE_SIZE, "rgb"),
+            # cluster budget) must be on record for the PARITY path.
+            # rgb-delta is byte-exact (outputs identical to wire=rgb,
+            # tests/test_extract_e2e.py::
+            # test_wire_format_rgb_delta_byte_identical) while riding
+            # the link compressed — plain rgb is capped ~18 fps by the
+            # tunnel's ~35 MB/s on 1.4 GB of frames
+            ("parity", NATIVE_SIZE, "rgb-delta"),
             ("speed", DETECTOR_SIZE, "yuv420-delta"),
         ]
         if args.no_e2e:

@@ -95,14 +95,16 @@ class ExtractConfig:
 
     # Host→device pixel wire format.  "rgb" (default): the decoded
     # frames upload as-is — byte-exact parity with host-only decode.
-    # "yuv420-delta": blocks upload as 4:2:0 YUV planes (the codec's
-    # own 1.5 B/px storage) with temporal frame deltas, reconstructed
-    # to RGB on device (ops/yuv.py) — half the wire bytes before
-    # compression and near the link's compressed floor after it
-    # (film deltas are mostly zero), at the cost of a few LSB of
-    # chroma re-quantization in device-side crops/features (host-side
-    # JPEG images stay exact).  Speed opt-in; see README defaults
-    # table.
+    # "rgb-delta": frames upload as uint8-wraparound temporal deltas,
+    # undone EXACTLY on device (modular cumsum, ops/yuv.py) — every
+    # output byte identical to "rgb", while the mostly-zero deltas
+    # ride the link's wire compressor (measured 3x e2e on the
+    # reference harness tunnel; free to enable on any transfer-bound
+    # host).  "yuv420-delta": additionally ships 4:2:0 YUV planes (the
+    # codec's own 1.5 B/px storage) — half the raw wire bytes — at the
+    # cost of a few LSB of chroma re-quantization in device-side
+    # crops/features (host-side JPEG images stay exact).  See README
+    # defaults table.
     wire_format: str = "rgb"
 
     # Fault tolerance (SURVEY.md §5.3-5.4): block-granular in-stage

@@ -37,8 +37,9 @@ def i420_rows(height: int) -> int:
 
 
 def delta_decode(delta: jnp.ndarray) -> jnp.ndarray:
-    """Undo per-block temporal delta: (B, R, W) uint8 where rows 1..B-1
-    are modular differences from the previous frame → absolute planes.
+    """Undo per-block temporal delta: (B, ...) uint8 where frames
+    1..B-1 are modular differences from the previous frame → absolute
+    frames.  Works on I420 planes (B, R, W) and RGB (B, H, W, 3) alike.
 
     Exact: the cumulative sum in int32 (B·255 < 2^31) taken mod 256
     reproduces uint8 wraparound addition bit for bit."""

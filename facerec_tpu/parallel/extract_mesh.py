@@ -77,11 +77,17 @@ class MeshBlockStep:
         from facerec_tpu.runtime.transfer import pack_tree
 
         fwd = _detector_forward(detector)
-        wire = wire_format == "yuv420-delta"
-        if wire_format not in ("rgb", "yuv420-delta"):
+        wire = wire_format in ("yuv420-delta", "rgb-delta")
+        if wire_format not in ("rgb", "yuv420-delta", "rgb-delta"):
             raise ValueError(f"unknown wire_format {wire_format!r}")
         if wire:
             from facerec_tpu.ops import yuv as yuv_ops
+
+            if wire_format == "yuv420-delta":
+                wire_decode = lambda w: yuv_ops.delta_i420_to_rgb(
+                    w, display_h)
+            else:
+                wire_decode = yuv_ops.delta_decode   # exact
         self.wire = wire
 
         def per_device(det_vars, frames, scene_state, tracker_state,
@@ -91,10 +97,10 @@ class MeshBlockStep:
             tracker_state = jax.tree.map(lambda x: x[0], tracker_state)
 
             if wire:
-                # frames is the span's delta-I420 wire block; the
-                # reconstruction runs per device, fused ahead of the
-                # scene/detector body (ops/yuv.py)
-                frames = yuv_ops.delta_i420_to_rgb(frames, display_h)
+                # frames is the span's delta wire block (delta-I420 or
+                # delta-RGB); the reconstruction runs per device, fused
+                # ahead of the scene/detector body (ops/yuv.py)
+                frames = wire_decode(frames)
             flags, scene_state = scene_ops._detect_block_impl(
                 frames, scene_state)
             det = fwd(det_vars, frames, frame0)
@@ -310,7 +316,8 @@ def run_extract_mesh(
         print(f"wire_format=yuv420-delta needs even display dims, "
               f"got {d_w}x{d_h}; falling back to rgb")
         wire_fmt = "rgb"
-    wire = wire_fmt == "yuv420-delta"
+    wire = wire_fmt in ("yuv420-delta", "rgb-delta")
+    i420 = wire_fmt == "yuv420-delta"
 
     # n concurrent rings share the host-memory budget
     ring = fetch_ring_blocks(group, cfg.block_frames, d_h, d_w,
@@ -318,7 +325,7 @@ def run_extract_mesh(
     readers = [open_block_reader(file, info, cfg.block_frames,
                                  decode_workers=cfg.decode_workers,
                                  ring_blocks=ring,
-                                 pixel_format="i420" if wire else "rgb")
+                                 pixel_format="i420" if i420 else "rgb")
                if active[i] else None
                for i, _ in enumerate(spans)]
     iters = [r.blocks(start_frames[i], stop, cfg.block_frames)
@@ -330,7 +337,8 @@ def run_extract_mesh(
     det_vars = getattr(detector, "variables", {})
 
     b = cfg.block_frames
-    frame_shape = (b, d_h * 3 // 2, d_w) if wire else (b, d_h, d_w, 3)
+    frame_shape = ((b, d_h * 3 // 2, d_w) if i420
+                   else (b, d_h, d_w, 3))
     last_frames = [np.zeros(frame_shape, np.uint8) for _ in range(n)]
     exhausted = [not active[i] for i in range(n)]
     counters: List[ExtractCounters] = []

@@ -109,6 +109,13 @@ class FusedBlockStep:
     RGB on device as its first fused ops and ALSO returns the
     reconstructed frames, which the caller keeps device-resident for
     the crop+embed dispatch (:meth:`call_wire`).
+
+    ``wire_format="rgb-delta"`` ships RGB as uint8-wraparound temporal
+    deltas instead: the device undoes them EXACTLY (modular cumsum,
+    ops/yuv.delta_decode), so every output byte matches the plain rgb
+    wire while the mostly-zero deltas ride the link compressed — the
+    parity-preserving answer to transfer-bound hosts (measured 3x
+    e2e on the reference harness tunnel; docs/DESIGN.md).
     """
 
     def __init__(self, detector, tracker_cfg: TrackerConfig,
@@ -152,13 +159,19 @@ class FusedBlockStep:
         self._jax = jax
         self._spec = None
 
-        if wire_format == "yuv420-delta":
+        if wire_format in ("yuv420-delta", "rgb-delta"):
             from facerec_tpu.ops import yuv as yuv_ops
+
+            if wire_format == "yuv420-delta":
+                wire_decode = lambda wire: yuv_ops.delta_i420_to_rgb(
+                    wire, display_h)
+            else:
+                wire_decode = yuv_ops.delta_decode   # exact
 
             def wire_step(det_vars, wire, scene_state, tracker_state,
                           frame0):
                 with jax.named_scope("wire_decode"):
-                    rgb = yuv_ops.delta_i420_to_rgb(wire, display_h)
+                    rgb = wire_decode(wire)
                 payload, scene_state, tracker_state = step(
                     det_vars, rgb, scene_state, tracker_state, frame0)
                 return pack_tree(payload), rgb, scene_state, \
@@ -166,7 +179,7 @@ class FusedBlockStep:
 
             def wire_payload(det_vars, wire, scene_state,
                              tracker_state, frame0):
-                rgb = yuv_ops.delta_i420_to_rgb(wire, display_h)
+                rgb = wire_decode(wire)
                 return step(det_vars, rgb, scene_state, tracker_state,
                             frame0)[0]
 
@@ -804,9 +817,9 @@ def run_extract(
     fused_ok = hasattr(detector, "variables") and (
         hasattr(detector, "_forward")
         or hasattr(detector, "forward_indexed"))
-    if wire_fmt == "yuv420-delta" and not fused_ok:
-        print("wire_format=yuv420-delta needs a fused-compatible "
-              "detector; falling back to rgb", file=sys.stderr)
+    if wire_fmt in ("yuv420-delta", "rgb-delta") and not fused_ok:
+        print(f"wire_format={wire_fmt} needs a fused-compatible "
+              f"detector; falling back to rgb", file=sys.stderr)
         wire_fmt = "rgb"
     if wire_fmt == "yuv420-delta" and (d_h % 2 or d_w % 2):
         print(f"wire_format=yuv420-delta needs even display dims, "
@@ -862,12 +875,13 @@ def run_extract(
             frames = np.concatenate(
                 [frames, np.repeat(frames[-1:], cfg.block_frames - real,
                                    axis=0)])
-        if wire_fmt == "yuv420-delta":
-            # frames arrive as absolute I420 planes (the reader's
-            # worker threads did the color conversion); the wire
-            # encode left on the loop is one temporal-delta memory
-            # pass, which buys back multiples of its cost in wire
-            # time on transfer-bound links
+        if wire_fmt in ("yuv420-delta", "rgb-delta"):
+            # yuv: frames arrive as absolute I420 planes (the reader's
+            # worker threads did the color conversion).  rgb-delta:
+            # frames are plain RGB.  Either way the wire encode left
+            # on the loop is one temporal-delta memory pass, which
+            # buys back multiples of its cost in wire time on
+            # transfer-bound links (deltas compress)
             t_enc = time.perf_counter()
             wire = yuv_ops.encode_delta(frames)
             phase["encode"] += time.perf_counter() - t_enc
@@ -1124,14 +1138,17 @@ def main(argv=None):
                              "identical at any setting; raise on "
                              "high-latency links)")
     parser.add_argument("--wire-format", type=str, default="rgb",
-                        choices=["rgb", "yuv420-delta"],
-                        help="host→device pixel format; yuv420-delta "
-                             "ships delta-coded 4:2:0 planes (≥2x "
-                             "fewer wire bytes, reconstructed to RGB "
-                             "on device) at a few LSB of chroma "
+                        choices=["rgb", "rgb-delta", "yuv420-delta"],
+                        help="host→device pixel format.  rgb-delta "
+                             "ships uint8-wraparound temporal deltas, "
+                             "undone EXACTLY on device — byte-"
+                             "identical outputs to rgb with a wire-"
+                             "compressor-friendly stream (use on "
+                             "transfer-bound hosts).  yuv420-delta "
+                             "additionally ships 4:2:0 planes (2x "
+                             "fewer raw bytes) at a few LSB of chroma "
                              "requantization in device-side "
-                             "crops/features — speed opt-in for "
-                             "transfer-bound hosts")
+                             "crops/features")
     parser.add_argument("--mesh", type=int, default=0,
                         help="process N temporal shard spans "
                              "simultaneously on an N-device mesh "

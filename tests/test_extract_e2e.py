@@ -599,3 +599,31 @@ def test_feature_records_frame_ordered_e2e(tmp_path):
         f"{out}/125261-data/features/features_125261_0-48.jsonl"))
     frames = [f["frame"] for f in feats]
     assert frames and frames == sorted(frames)
+
+
+def test_wire_format_rgb_delta_byte_identical(clip, tmp_path):
+    """The rgb-delta wire must not change ONE output byte vs the plain
+    rgb wire: the device undoes the uint8-wraparound deltas exactly
+    (ops/yuv.delta_decode), so it is a parity-preserving transfer
+    optimization, unlike yuv420-delta's chroma requantization."""
+    from facerec_tpu.video.synth import PureScriptedDetector
+
+    outs = {}
+    for wire in ("rgb", "rgb-delta"):
+        out = str(tmp_path / wire)
+        cfg = ExtractConfig(block_frames=16, max_detections=8,
+                            max_tracks=16, save_images=True,
+                            fetch_every_blocks=3, wire_format=wire)
+        run_extract(clip.path, cfg, out,
+                    detector=PureScriptedDetector(clip, max_detections=8),
+                    embedders=DeferredStubBank())
+        outs[wire] = f"{out}/125261-data"
+
+    import filecmp
+    for sub in ("trajectories", "features", "scene_changes", "images"):
+        fa = sorted(os.listdir(f"{outs['rgb']}/{sub}"))
+        assert fa == sorted(os.listdir(f"{outs['rgb-delta']}/{sub}")), sub
+        for f in fa:
+            assert filecmp.cmp(f"{outs['rgb']}/{sub}/{f}",
+                               f"{outs['rgb-delta']}/{sub}/{f}",
+                               shallow=False), (sub, f)

@@ -276,3 +276,28 @@ def test_mesh_yuv_wire_byte_identical_to_serial_yuv(clip, tmp_path):
         assert set(a) == set(b), (sub, set(a) ^ set(b))
         for rel in a:
             assert a[rel] == b[rel], f"{sub}/{rel} differs"
+
+
+def test_mesh_rgb_delta_wire_byte_identical_to_serial_rgb(clip, both_runs):
+    """The rgb-delta wire on the mesh path is byte-identical to the
+    SERIAL PLAIN-RGB run — the strongest wire claim: exact reconstruction
+    composes with span decomposition."""
+    import tempfile
+
+    out_serial_rgb, _, _ = both_runs
+    out_mesh = tempfile.mkdtemp(prefix="meshdelta_")
+    cfg = ExtractConfig(block_frames=16, max_detections=8,
+                        max_tracks=16, wire_format="rgb-delta")
+    mesh = frame_mesh(jax.devices()[:N_DEV])
+    counters = run_extract_mesh(
+        clip.path, cfg, out_mesh, mesh=mesh,
+        detector=PureScriptedDetector(clip, max_detections=8),
+        embedders=StubEmbedderBank())
+    assert len(counters) == N_DEV
+
+    for sub in ("trajectories", "features", "scene_changes", "images"):
+        a = _tree_bytes(f"{out_serial_rgb}/125261-data/{sub}")
+        b = _tree_bytes(f"{out_mesh}/125261-data/{sub}")
+        assert set(a) == set(b), (sub, set(a) ^ set(b))
+        for rel in a:
+            assert a[rel] == b[rel], f"{sub}/{rel} differs"

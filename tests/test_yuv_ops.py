@@ -66,3 +66,18 @@ def test_i420_shape_validation():
         yuv.i420_rows(33)
     with pytest.raises(ValueError):
         yuv.i420_to_rgb(jnp.zeros((1, 36, 47), jnp.uint8), 24)
+
+
+def test_rgb_delta_roundtrip_exact():
+    """The rgb-delta wire is LOSSLESS: uint8-wraparound host encode +
+    modular-cumsum device decode reproduce RGB blocks bit for bit,
+    including wraparound-heavy content."""
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, (9, 24, 32, 3), dtype=np.uint8)
+    wire = yuv.encode_delta(frames)
+    assert wire.shape == frames.shape and wire.dtype == np.uint8
+    back = np.asarray(yuv.delta_decode(jnp.asarray(wire)))
+    np.testing.assert_array_equal(back, frames)
+    # deltas of static content are zero (the compressibility claim)
+    static = np.broadcast_to(frames[:1], frames.shape).copy()
+    assert (yuv.encode_delta(static)[1:] == 0).all()

@@ -84,14 +84,23 @@ def delta_i420_to_rgb(delta: jnp.ndarray, height: int) -> jnp.ndarray:
     return i420_to_rgb(delta_decode(delta), height)
 
 
-def encode_delta(yuv_block: np.ndarray) -> np.ndarray:
-    """Host-side temporal delta over an absolute I420 block: the first
-    frame stays absolute, frames 1..B-1 become uint8 wraparound
-    differences (what :func:`delta_decode` undoes).  One memory pass;
-    the color conversion itself runs in the block reader's worker
-    threads (``pixel_format="i420"``)."""
-    delta = yuv_block.copy()
-    delta[1:] -= yuv_block[:-1]
+def encode_delta(block: np.ndarray) -> np.ndarray:
+    """Host-side temporal delta over an absolute block (I420 planes or
+    RGB frames): the first frame stays absolute, frames 1..B-1 become
+    uint8 wraparound differences (what :func:`delta_decode` undoes).
+    Runs GIL-free and multithreaded in the native runtime when built
+    (native/decode.cpp frd_delta_u8 — the numpy subtraction was the
+    single largest host cost of the rgb-delta parity loop, ~21 s per
+    1024 frames at 576x768); numpy fallback otherwise."""
+    block = np.ascontiguousarray(block)
+    if block.dtype == np.uint8:
+        from facerec_tpu.runtime import native as native_mod
+
+        delta = np.empty_like(block)
+        if native_mod.delta_u8(block, delta):
+            return delta
+    delta = block.copy()
+    delta[1:] -= block[:-1]
     return delta
 
 

@@ -892,6 +892,7 @@ def run_extract(
             packed, dev_frames, scene_state, tracker_state = \
                 fused.call_wire(dev_wire, scene_state, tracker_state,
                                 frame0)
+            phase["dispatch"] += time.perf_counter() - t_call
             if phase_log:
                 print(f"[phase] block f0={frame0} "
                       f"encode={t_up - t_enc:.3f}s "
@@ -910,6 +911,7 @@ def run_extract(
             print(f"[phase] block upload "
                   f"{time.perf_counter() - t_up:.3f}s f0={frame0}",
                   file=sys.stderr, flush=True)
+        t_call = time.perf_counter()
         if fused is not None:
             packed, scene_state, tracker_state = fused(
                 dev_frames, scene_state, tracker_state, frame0)
@@ -929,6 +931,7 @@ def run_extract(
                 host_spec = tree_spec(payload)
             packed = pack_jit(payload)
             unpack = lambda buf: unpack_tree(buf, *host_spec)
+        phase["dispatch"] += time.perf_counter() - t_call
         return {"frame0": frame0, "frames": frames, "real": real,
                 "packed": packed, "dev": dev_frames, "unpack": unpack,
                 # post-block device state, for checkpoints: dispatch
@@ -1071,9 +1074,10 @@ def run_extract(
                   file=sys.stderr, flush=True)
         if nxt is None:
             break
-        t0 = time.perf_counter()
+        # dispatch_block accumulates the encode/upload/dispatch
+        # sub-phases itself, so the report's phases are disjoint and
+        # sum (with decode/fetch/consume) to the loop's wall time
         staged.append(dispatch_block(nxt))
-        phase["dispatch"] += time.perf_counter() - t0
         if len(staged) >= group:
             if inflight is not None:
                 collect_fetch()

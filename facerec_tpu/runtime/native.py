@@ -50,8 +50,33 @@ def decode_lib():
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int64)]
             lib.frd_close.argtypes = [ctypes.c_void_p]
+            if hasattr(lib, "frd_delta_u8"):
+                lib.frd_delta_u8.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int64, ctypes.c_int64]
         _decode_lib = lib or False
     return _decode_lib or None
+
+
+def delta_u8(src: "np.ndarray", dst: "np.ndarray") -> bool:
+    """Native multithreaded per-block temporal delta (wire encode):
+    dst[0] = src[0], dst[i] = src[i] - src[i-1] (uint8 wraparound).
+    Returns False when the native library (or symbol) is unavailable —
+    the caller falls back to numpy."""
+    lib = decode_lib()
+    if lib is None or not hasattr(lib, "frd_delta_u8"):
+        return False
+    assert src.dtype == np.uint8 and dst.dtype == np.uint8
+    assert src.flags["C_CONTIGUOUS"] and dst.flags["C_CONTIGUOUS"]
+    assert src.shape == dst.shape
+    n = src.shape[0]
+    frame_bytes = src.nbytes // max(1, n)
+    lib.frd_delta_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, frame_bytes)
+    return True
 
 
 def jpeg_lib():

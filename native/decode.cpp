@@ -264,4 +264,40 @@ void frd_close(void* handle) {
   delete static_cast<Decoder*>(handle);
 }
 
+// Out-of-place per-block temporal delta (uint8 wraparound): dst[0] =
+// src[0], dst[i] = src[i] - src[i-1].  The wire encode of the
+// rgb-delta / yuv420-delta formats (facerec_tpu.ops.yuv.encode_delta):
+// numpy pays ~15 ns/byte for the same subtraction on the Python loop's
+// single core; this runs it GIL-free across a few threads at memory
+// bandwidth (the source frames stay untouched for the host pixel
+// window / JPEG path).
+void frd_delta_u8(const uint8_t* src, uint8_t* dst, int64_t n_frames,
+                  int64_t frame_bytes) {
+  if (n_frames <= 0) return;
+  std::memcpy(dst, src, frame_bytes);
+  const int64_t rest = n_frames - 1;
+  if (rest == 0) return;
+  int n_threads = static_cast<int>(std::thread::hardware_concurrency());
+  if (n_threads > 4) n_threads = 4;
+  if (n_threads < 1) n_threads = 1;
+  if (rest < n_threads) n_threads = static_cast<int>(rest);
+  std::vector<std::thread> workers;
+  const int64_t chunk = (rest + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t lo = 1 + t * chunk;
+    const int64_t hi = std::min<int64_t>(1 + (t + 1) * chunk, n_frames);
+    if (lo >= hi) break;
+    workers.emplace_back([=] {
+      for (int64_t i = lo; i < hi; ++i) {
+        const uint8_t* cur = src + i * frame_bytes;
+        const uint8_t* prev = src + (i - 1) * frame_bytes;
+        uint8_t* out = dst + i * frame_bytes;
+        for (int64_t b = 0; b < frame_bytes; ++b)
+          out[b] = static_cast<uint8_t>(cur[b] - prev[b]);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+}
+
 }  // extern "C"

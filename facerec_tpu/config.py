@@ -76,6 +76,14 @@ class ExtractConfig:
     # opt-in, not the default (see README "Defaults that trade parity
     # for speed").
     detector_long_side: Optional[int] = None
+    # Detector backbone width for RANDOM-INIT harnesses (checkpoints
+    # carry their own width; models/load.py infers it back from the
+    # stem shape).  96 is the trained/documented default; 72 is the
+    # measured speed knob (detector 12.6 → 9.2 ms per 128-frame block
+    # on v5e, selfcheck quality gates green — docs/DESIGN.md round 4);
+    # 128 runs at the SAME device time as 96 (the MXU pads 96-channel
+    # convs to its 128 lanes) with 1.78x the capacity.
+    backbone_width: int = 96
     compute_dtype: str = "bfloat16"
 
     # Parallel native decode workers (each seeks per claimed block —

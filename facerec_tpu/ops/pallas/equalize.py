@@ -46,6 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NIB = 16
 _ROWS = 8           # rows per sweep step (sublane-aligned loads)
+_PACK = 8           # native rows folded into the lane axis per kernel
+                    # row (free row-major reshape; see equalize_stats_tpu)
+_MAX_LANES = 16384  # packed-width cap: bounds (16, lanes) transients
 # fused path: input + output plane resident, double-buffered → ~4×
 # plane bytes of VMEM; 3 MB planes ≈ 12 MB of 16 MB v5e VMEM
 _FUSED_PLANE_BYTES = 3 * 1024 * 1024
@@ -296,12 +299,32 @@ def equalize_stats_tpu(y: jnp.ndarray, interpret: bool = False
     Both paths produce bit-identical outputs (the arithmetic is exact
     integer counting either way); the dispatch is purely a VMEM
     residency decision.
+
+    Lane packing: the kernels are issue-bound (one small one-hot dot
+    per 1-row slice), and the plane is row-major, so folding _PACK
+    consecutive rows into the lane axis — ``(B, R, W) → (B, R/_PACK,
+    _PACK·W)`` — is a free metadata reshape in HBM that cuts the dot
+    issue count _PACK× at identical arithmetic (the histogram and the
+    cdf lookup are both position-independent sums over pixels, so the
+    results are bit-identical).  Rows are padded to a multiple of
+    8·_PACK with the -1 sentinel, which both passes already ignore.
     """
     b, r, w = y.shape
     assert r % _ROWS == 0, (r, w)
-    if r * w * 4 <= _FUSED_PLANE_BYTES:
-        return _equalize_fused(y, interpret=interpret)
-    return _equalize_tiled(y, interpret=interpret)
+    # cap the packed lane count so the kernels' (16, lanes) transients
+    # stay a small fraction of VMEM even on 4K-wide planes
+    pack = max(1, min(_PACK, _MAX_LANES // w))
+    span = _ROWS * pack
+    rp = (r + span - 1) // span * span
+    if rp != r:
+        y = jnp.pad(y, ((0, 0), (0, rp - r), (0, 0)),
+                    constant_values=-1.0)
+    yp = y.reshape(b, rp // pack, pack * w)
+    if rp * w * 4 <= _FUSED_PLANE_BYTES:
+        eq_raw, cum = _equalize_fused(yp, interpret=interpret)
+    else:
+        eq_raw, cum = _equalize_tiled(yp, interpret=interpret)
+    return eq_raw.reshape(b, rp, w)[:, :r], cum
 
 
 def pack_planes(y: jnp.ndarray) -> jnp.ndarray:

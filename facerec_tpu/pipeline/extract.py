@@ -703,6 +703,7 @@ def build_detector(cfg: ExtractConfig, d_h: int, d_w: int,
         score_threshold=cfg.face_threshold,
         min_face_size=cfg.min_face_size)
     if detector_weights is not None:
+        # checkpoints carry their own width (inferred from the stem)
         from facerec_tpu.models.load import load_detector_harness
 
         return load_detector_harness(detector_weights, **harness_kwargs)
@@ -710,7 +711,8 @@ def build_detector(cfg: ExtractConfig, d_h: int, d_w: int,
     from facerec_tpu.models.load import warn_random_init
 
     warn_random_init("The face detector", "--detector-weights")
-    return DetectorHarness.create(**harness_kwargs)
+    return DetectorHarness.create(backbone_width=cfg.backbone_width,
+                                  **harness_kwargs)
 
 
 def build_embedders(facenet_weights: Optional[str]) -> EmbedderBank:
@@ -1165,6 +1167,12 @@ def main(argv=None):
                              "~7%% recall on 28-44px faces for 2.25x "
                              "less detector compute (see README "
                              "defaults table)")
+    parser.add_argument("--backbone-width", type=int, default=96,
+                        help="detector backbone width for random-init "
+                             "runs (checkpoints carry their own); 72 "
+                             "is the measured speed knob, 128 costs "
+                             "the same device time as 96 (MXU lane "
+                             "padding) at 1.78x capacity")
     parser.add_argument("--facenet-weights", type=str, default=None,
                         help="directory with the four FaceNet "
                              "checkpoints (<name>.pt / <name>.h5 / "
@@ -1189,7 +1197,8 @@ def main(argv=None):
         decode_workers=args.decode_workers,
         fetch_every_blocks=args.fetch_every_blocks,
         wire_format=args.wire_format,
-        detector_long_side=args.detector_long_side or None)
+        detector_long_side=args.detector_long_side or None,
+        backbone_width=args.backbone_width)
     if args.mesh > 1:
         from facerec_tpu.parallel.extract_mesh import run_extract_mesh
 

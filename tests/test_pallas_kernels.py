@@ -105,3 +105,18 @@ def test_large_plane_dispatches_tiled(rng):
     np.testing.assert_allclose(got, _np_oracle(y), atol=2e-5)
     np.testing.assert_array_equal(
         np.asarray(cum), np.cumsum(_np_counts(y), axis=-1))
+
+
+def test_lane_pack_cap_wide_plane(rng):
+    """Lane packing caps at _MAX_LANES on wide planes (pack < _PACK,
+    possibly non-power-of-2) and stays exact."""
+    w = 2304                       # 16384 // 2304 = 7 rows packed
+    y = rng.uniform(0, 255.999, (1, 20, w)).astype(np.float32)
+    packed = pack_planes(jnp.asarray(y))
+    eq_raw, cum = equalize_stats_tpu(packed, interpret=True)
+    p = 20 * w
+    got = (np.asarray(eq_raw).reshape(1, -1)[:, :p] / p * 255.0
+           ).reshape(1, 20, w)
+    np.testing.assert_allclose(got, _np_oracle(y), atol=2e-5)
+    np.testing.assert_array_equal(
+        np.asarray(cum), np.cumsum(_np_counts(y), axis=-1))

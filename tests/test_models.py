@@ -131,3 +131,17 @@ def test_fit_input_size_small_film_no_upscale():
     # frames smaller than the target long side are padded, not upscaled
     assert fit_input_size(150, 214) == (160, 224)
     assert fit_input_size(100, 100) == (128, 128)
+
+
+def test_build_detector_honors_config_backbone_width(monkeypatch):
+    """ExtractConfig.backbone_width reaches random-init harnesses (the
+    gated speed knob); checkpoints keep inferring their own width."""
+    from facerec_tpu.config import ExtractConfig
+    from facerec_tpu.pipeline.extract import build_detector
+
+    monkeypatch.setenv("FACEREC_ALLOW_RANDOM", "1")
+    cfg = ExtractConfig(backbone_width=72, detector_long_side=64)
+    h = build_detector(cfg, 48, 64, detector_weights=None)
+    assert h.model.backbone_width == 72
+    stem = h.variables["params"]["stem"]["Conv_0"]["kernel"]
+    assert stem.shape[-1] == 72

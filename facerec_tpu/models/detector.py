@@ -101,10 +101,13 @@ class FaceDetector(nn.Module):
         # block program the s2d formulation cost two layout copies of
         # the full stem input (~0.55 ms/64-frame block on v5e).
         # backbone_width scales every backbone level (96/192/384 at the
-        # default 96): the mid-level 3x3 convs are issue-bound at their
-        # small spatial shapes (36-55 effective TFLOPS regardless of
-        # layout, docs/DESIGN.md), so device-time wins there come from
-        # fewer FLOPs, gated on selfcheck quality (tools/selfcheck.py).
+        # default 96).  Measured verdict (docs/DESIGN.md "Backbone-width
+        # harvest"): the mid-level limiter is MXU Cout lane padding
+        # (192 ch = 1.5 lanes; w=128's 256-ch mid-levels run 1.78x the
+        # FLOPs in the same time), and the narrower w=72 fails the
+        # selfcheck recall gate (0.073 vs 0.90) — so 96 stays the
+        # default and width changes are retraining decisions, not
+        # speed knobs.
         w = self.backbone_width
         x = ConvBN(w, 12, 4, dtype=d, name="stem")(x, train)
         x = ResBlock(w, 2, dtype=d, name="c3_1")(x, train)

@@ -104,8 +104,9 @@ class FaceDetector(nn.Module):
         # default 96).  Measured verdict (docs/DESIGN.md "Backbone-width
         # harvest"): the mid-level limiter is MXU Cout lane padding
         # (192 ch = 1.5 lanes; w=128's 256-ch mid-levels run 1.78x the
-        # FLOPs in the same time), and the narrower w=72 fails the
-        # selfcheck recall gate (0.073 vs 0.90) — so 96 stays the
+        # FLOPs in the same time), and the narrower w=72 collapses
+        # detection in the paired selfcheck A/B (recall 0.073 vs 0.646
+        # for w=96 at the identical probe scale) — so 96 stays the
         # default and width changes are retraining decisions, not
         # speed knobs.
         w = self.backbone_width

@@ -37,6 +37,7 @@ scaling so the division stays in one fused consumer pass).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -46,8 +47,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NIB = 16
 _ROWS = 8           # rows per sweep step (sublane-aligned loads)
-_PACK = 8           # native rows folded into the lane axis per kernel
-                    # row (free row-major reshape; see equalize_stats_tpu)
+# Rows folded into the lane axis per kernel row (FACEREC_EQ_FOLD,
+# default 1 = off).  Folding cuts the kernel's dot issues fold× and the
+# kernel itself measured 3.29 → 2.46 ms/128-frame block at fold=8 on
+# v5e — but the fold reshape is NOT free on TPU: arrays are physically
+# (8,128)-tiled, so (B,R,W)→(B,R/8,8W) crosses tile boundaries and XLA
+# materialized three full-plane relayouts around it (pack + two unpack
+# rematerializations, ~0.46 ms each), a measured net LOSS of ~0.5
+# ms/block in the fused extract program (docs/DESIGN.md "Equalize
+# lane-fold").  Kept as an A/B knob for future compilers/hardware.
+_PACK = int(os.environ.get("FACEREC_EQ_FOLD", "1"))
 _MAX_LANES = 16384  # packed-width cap: bounds (16, lanes) transients
 # fused path: input + output plane resident, double-buffered → ~4×
 # plane bytes of VMEM; 3 MB planes ≈ 12 MB of 16 MB v5e VMEM
@@ -300,14 +309,17 @@ def equalize_stats_tpu(y: jnp.ndarray, interpret: bool = False
     integer counting either way); the dispatch is purely a VMEM
     residency decision.
 
-    Lane packing: the kernels are issue-bound (one small one-hot dot
-    per 1-row slice), and the plane is row-major, so folding _PACK
-    consecutive rows into the lane axis — ``(B, R, W) → (B, R/_PACK,
-    _PACK·W)`` — is a free metadata reshape in HBM that cuts the dot
-    issue count _PACK× at identical arithmetic (the histogram and the
-    cdf lookup are both position-independent sums over pixels, so the
-    results are bit-identical).  Rows are padded to a multiple of
-    8·_PACK with the -1 sentinel, which both passes already ignore.
+    Lane packing (off by default, see ``_PACK``): the kernels are
+    issue-bound (one small one-hot dot per 1-row slice), so folding
+    _PACK consecutive rows into the lane axis — ``(B, R, W) →
+    (B, R/_PACK, _PACK·W)`` — cuts the dot issue count _PACK× at
+    identical arithmetic (the histogram and the cdf lookup are both
+    position-independent sums over pixels, so the results are
+    bit-identical).  On TPU the fold reshape is a physical relayout
+    (tiled memory), which on-chip measurement showed costs more than
+    the kernel saves — hence fold=1 default.  Rows are padded to a
+    multiple of 8·_PACK with the -1 sentinel, which both passes
+    already ignore.
     """
     b, r, w = y.shape
     assert r % _ROWS == 0, (r, w)

@@ -214,9 +214,14 @@ def step(
 # time; unrolling trades a longer program for fewer loop trips.
 # Bit-identical output at any factor (same ops, same order) —
 # overridable for A/B measurement via FACEREC_TRACKER_UNROLL.
+# Measured on-chip (v5e, fused 128-frame block, scripts/
+# profile_block.py): unroll=1 → 3.77 ms/block, 8 → 3.50, 32 → 3.50 —
+# the win saturates at 8 (the per-step association NMS while-loop is
+# the remaining floor), so 8 is the default: same speed as 32 with a
+# quarter of the program growth.
 import os as _os
 
-SCAN_UNROLL = int(_os.environ.get("FACEREC_TRACKER_UNROLL", "1"))
+SCAN_UNROLL = int(_os.environ.get("FACEREC_TRACKER_UNROLL", "8"))
 
 
 def _run_block_impl(cfg, state, det_boxes, det_valid, scene_changes,

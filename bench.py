@@ -2,12 +2,21 @@
 """Headline benchmark: extract-pipeline frames/sec on one chip.
 
 Budget-safe by construction: the whole run operates under a hard
-wall-clock budget (``FACEREC_BENCH_BUDGET`` seconds, default 480) with
-a SIGALRM watchdog, so the benchmark ALWAYS prints its headline JSON
-and exits 0 inside the harness budget — legs that no longer fit are
-skipped with a log line instead of starving the output (round-3
-post-mortem: an unbounded e2e warmup timed out the whole benchmark and
-recorded nothing).
+wall-clock budget (``FACEREC_BENCH_BUDGET`` seconds, default 1500)
+with a SIGALRM watchdog.  Every metric line is printed the moment it
+is measured (the harness driver records the output tail even when an
+outer timeout kills the process, so finishing late only risks the
+return code — suiciding early guarantees an empty record, the round-3
+post-mortem).  Legs that no longer fit the remaining budget are
+skipped with a log line instead of starving the output, and the e2e
+legs run with the extract stage's own stdout suppressed so the JSON
+lines stay within the driver's short tail window.
+
+All traced/jitted benchmark code lives in ``facerec_tpu/benchdev.py``:
+the JAX compile cache keys cover source locations, so keeping traced
+functions out of THIS file means editing budgets/logging/leg order
+here never re-keys a cached executable (cold compile ~500-700 s on a
+contended tunnel vs ~100 s warm load).
 
 Three JSON lines, in print order:
 
@@ -17,8 +26,8 @@ Three JSON lines, in print order:
    4×FaceNet embedding as ONE fused XLA program per 128-frame block,
    blocks dispatched back-to-back with device-to-device dependencies
    only.  Printed FIRST so it is on record even if a later leg dies,
-   and REPEATED as the final line so single-metric consumers of the
-   tail record it.
+   re-emitted before each e2e leg (tail insurance), and REPEATED as
+   the final line so single-metric consumers of the tail record it.
 2. ``extract_e2e_frames_per_sec_per_chip`` ``config=parity`` — the
    REAL production loop end to end in a BYTE-EXACT configuration
    (``wire_format=rgb-delta`` — losslessly undone on device,
@@ -43,7 +52,8 @@ worker-sweep mode with a decode-only baseline.
 from __future__ import annotations
 
 import argparse
-import dataclasses
+import contextlib
+import io
 import json
 import os
 import signal
@@ -53,7 +63,7 @@ import time
 import numpy as np
 
 T0 = time.perf_counter()
-BUDGET = float(os.environ.get("FACEREC_BENCH_BUDGET", "480"))
+BUDGET = float(os.environ.get("FACEREC_BENCH_BUDGET", "1500"))
 
 BASELINE_FPS = 180_000 / (3 * 3600)   # reference cluster budget
 
@@ -65,11 +75,12 @@ DETECTOR_SIZE = (384, 512)   # AR-fitted long-side-512 (the speed opt-in)
 NATIVE_SIZE = (576, 768)     # native display resolution (parity default)
 FETCH_EVERY = 8            # blocks per device→host transfer (e2e mode)
 E2E_FRAMES = 1024          # e2e film length (8 blocks = 1 fetch group)
-E2E_LEG_MIN_BUDGET = 140.0  # skip an e2e leg with less than this left
+E2E_LEG_MIN_BUDGET = 180.0  # skip an e2e leg with less than this left
 
 
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.perf_counter() - T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def remaining() -> float:
@@ -89,33 +100,6 @@ def arm_watchdog() -> None:
     fire_in = max(1, int(remaining() - 10))
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(fire_in)
-
-
-class HybridDetector:
-    """Real detector FLOPs, scripted ground-truth detections.
-
-    The full FaceDetector forward runs (so the e2e bench pays the real
-    conv cost) but its decoded outputs are replaced by the synthetic
-    clip's truth — overlaid with a zero-valued dependency on the real
-    scores so XLA cannot dead-code the model — giving the downstream
-    tracker/crop/embed/JPEG stages a deterministic, realistic load.
-    """
-
-    def __init__(self, harness, scripted):
-        self.harness = harness
-        self.scripted = scripted
-        self.variables = {"h": harness.variables,
-                          "s": scripted.variables}
-
-    def forward_indexed(self, variables, frames, frame0):
-        import jax.numpy as jnp
-
-        real = self.harness._forward(variables["h"], frames)
-        truth = self.scripted.forward_indexed(variables["s"], frames,
-                                              frame0)
-        anchor = (real.scores.astype(jnp.float32).sum() * 0.0)
-        return type(real)(truth.boxes + anchor, truth.scores + anchor,
-                          truth.landmarks + anchor, truth.valid)
 
 
 def make_bench_film(n_frames: int):
@@ -140,15 +124,37 @@ def make_bench_film(n_frames: int):
         return film, pickle.load(f)
 
 
+def _quiet_run_extract(*args, **kwargs):
+    """run_extract with its stage prints captured off stdout.
+
+    The driver records only a short tail of merged stdout+stderr; the
+    extract stage's per-run film banner would push the emitted JSON
+    lines out of that window if an outer timeout killed the process
+    mid-leg.  On failure the captured output is replayed to stderr.
+    """
+    from facerec_tpu.pipeline.extract import run_extract
+
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            return run_extract(*args, **kwargs)
+    except BaseException:
+        tail = buf.getvalue().strip().splitlines()[-8:]
+        for line in tail:
+            log(f"  extract| {line}")
+        raise
+
+
 def bench_e2e_config(label: str, n_frames: int, detector_size,
                      wire_format: str, workers: int = 2,
                      repeats: int = 1):
     """One labeled end-to-end measurement; returns the JSON line dict."""
     import jax.numpy as jnp
 
+    from facerec_tpu.benchdev import HybridDetector
     from facerec_tpu.config import ExtractConfig
     from facerec_tpu.models import DetectorHarness
-    from facerec_tpu.pipeline.extract import EmbedderBank, run_extract
+    from facerec_tpu.pipeline.extract import EmbedderBank
     from facerec_tpu.video.synth import PureScriptedDetector
 
     os.environ.setdefault("FACEREC_ALLOW_RANDOM", "1")
@@ -175,16 +181,16 @@ def bench_e2e_config(label: str, n_frames: int, detector_size,
     log(f"[{label}] warmup (full run, compiles; "
         f"{remaining():.0f}s budget left)...")
     t0 = time.perf_counter()
-    run_extract(film, cfg, out + "_warm", detector=detector,
-                embedders=bank)
-    log(f"  warmup {time.perf_counter() - t0:.1f}s")
+    _quiet_run_extract(film, cfg, out + "_warm", detector=detector,
+                       embedders=bank)
+    log(f"[{label}] warmup done in {time.perf_counter() - t0:.1f}s")
 
     best = 0.0
     for _rep in range(max(1, repeats)):
         os.system(f"rm -rf {out}")
         t0 = time.perf_counter()
-        counters = run_extract(film, cfg, out, detector=detector,
-                               embedders=bank)
+        counters = _quiet_run_extract(film, cfg, out, detector=detector,
+                                      embedders=bank)
         dt = time.perf_counter() - t0
         fps = counters.frames_processed / dt
         best = max(best, fps)
@@ -217,63 +223,24 @@ def bench_e2e_config(label: str, n_frames: int, detector_size,
 def bench_device():
     """The fused-block device throughput headline; returns the line."""
     import jax
-    import jax.numpy as jnp
 
-    from facerec_tpu.models import DetectorHarness
-    from facerec_tpu.ops import scene as scene_ops
-    from facerec_tpu.ops.crops import crop_resize
-    from facerec_tpu.pipeline.extract import EmbedderBank
-    from facerec_tpu.track import TrackerConfig, init_tracker
-    from facerec_tpu.track.tracker import _run_block_impl
+    from facerec_tpu.benchdev import make_device_step
 
     log(f"devices: {jax.devices()}")
-    compute_dtype = jnp.bfloat16
-    detector = DetectorHarness.create(
-        input_size=DETECTOR_SIZE, max_detections=16,
-        score_threshold=0.95, dtype=compute_dtype)
-    bank = EmbedderBank.create_default(dtype=compute_dtype)
-    tracker_cfg = TrackerConfig(max_tracks=32, max_detections=16)
-    backbone_stack = bank.pooled.backbone_stack
-    bottlenecks = bank.pooled.bottlenecks
-
-    def block_step(det_vars, backbone_stack, bottlenecks, frames,
-                   scene_state, tracker_state, crop_boxes, crop_frames):
-        flags, scene_state = scene_ops._detect_block_impl(
-            frames, scene_state)
-        det = detector._forward(det_vars, frames)
-        tracker_state, emit = _run_block_impl(
-            tracker_cfg, tracker_state, det.boxes, det.valid, flags,
-            jnp.int32(0))
-        crops = crop_resize(frames, crop_frames, crop_boxes, 160)
-        embs = bank.pooled._embed(backbone_stack, bottlenecks, crops)
-        emb_sum = sum(e.sum().astype(jnp.float32) for e in embs)
-        fp = flags.sum().astype(jnp.float32) + emit.box.sum() + emb_sum
-        return fp, scene_state, tracker_state
-
-    step = jax.jit(block_step)
-
-    rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.integers(0, 255, (BLOCK, HEIGHT, WIDTH, 3)),
-                         jnp.uint8)
-    crop_boxes = jnp.asarray(
-        np.stack([rng.uniform(0, 300, CROPS_PER_BLOCK),
-                  rng.uniform(0, 300, CROPS_PER_BLOCK),
-                  rng.uniform(360, 700, CROPS_PER_BLOCK),
-                  rng.uniform(360, 560, CROPS_PER_BLOCK)], axis=1),
-        jnp.float32)
-    crop_frames = jnp.asarray(
-        rng.integers(0, BLOCK, CROPS_PER_BLOCK), jnp.int32)
-    scene_state = scene_ops.initial_state(HEIGHT, WIDTH)
-    tracker_state = init_tracker(tracker_cfg)
-    det_vars = detector.variables
+    log("building models + inputs...")
+    step, args = make_device_step(DETECTOR_SIZE, BLOCK, HEIGHT, WIDTH,
+                                  CROPS_PER_BLOCK)
+    (det_vars, backbone_stack, bottlenecks, frames,
+     scene_s, tracker_s, crop_boxes, crop_frames) = args
 
     t0 = time.perf_counter()
-    log("compiling fused block program...")
+    log("compiling fused block program (warm-key load ~100s, cold "
+        "~500-700s on a contended tunnel)...")
     fp, scene_s, tracker_s = step(det_vars, backbone_stack, bottlenecks,
-                                  frames, scene_state, tracker_state,
+                                  frames, scene_s, tracker_s,
                                   crop_boxes, crop_frames)
     _ = float(fp)
-    log(f"  {time.perf_counter() - t0:.1f}s")
+    log(f"  program ready in {time.perf_counter() - t0:.1f}s")
 
     # best-of-3 rounds: per-dispatch RPC latency on the tunneled
     # backend varies several-fold between identical runs — the best
@@ -334,6 +301,7 @@ def run_default(args) -> None:
                 log(f"[{label}] SKIPPED: {remaining():.0f}s budget left "
                     f"< {E2E_LEG_MIN_BUDGET:.0f}s leg minimum")
                 continue
+            emit(headline)   # tail insurance if this leg is killed
             try:
                 emit(bench_e2e_config(label, args.frames, det_size, wire,
                                       repeats=args.repeats))

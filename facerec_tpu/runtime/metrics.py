@@ -11,8 +11,32 @@ from __future__ import annotations
 import contextlib
 import json
 import os
+import sys
 import time
 from typing import Dict, Optional
+
+
+def effective_env_knobs() -> Dict[str, object]:
+    """Effective values of the environment A/B knobs (SURVEY.md §5.6).
+
+    A recorded number is only reproducible if it carries its FULL
+    effective configuration; these four knobs bypass ``ExtractConfig``
+    (two are read at import time), so every stage report embeds them.
+    For the import-time knobs the value is taken from the already-loaded
+    module when present — the process's actual behaviour — falling back
+    to the same env/default read the module would perform.
+    """
+    tracker = sys.modules.get("facerec_tpu.track.tracker")
+    equalize = sys.modules.get("facerec_tpu.ops.pallas.equalize")
+    return {
+        "tracker_unroll": (tracker.SCAN_UNROLL if tracker is not None
+                           else int(os.environ.get(
+                               "FACEREC_TRACKER_UNROLL", "8"))),
+        "eq_fold": (equalize._PACK if equalize is not None
+                    else int(os.environ.get("FACEREC_EQ_FOLD", "1"))),
+        "resize": os.environ.get("FACEREC_RESIZE", "xla"),
+        "seek_check": os.environ.get("FACEREC_SEEK_CHECK", "1") != "0",
+    }
 
 
 class StageReport:
@@ -34,6 +58,7 @@ class StageReport:
             "stage": self.stage,
             "wall_seconds": round(time.time() - self._start, 3),
             "counters": self.counters,
+            "env_knobs": effective_env_knobs(),
         }
 
     def write(self, data_dir: str) -> dict:

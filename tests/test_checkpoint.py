@@ -92,3 +92,14 @@ def test_run_report_written(clip, tmp_path):
     for p in ("decode", "dispatch", "upload", "fetch", "consume",
               "flush_dispatch"):
         assert f"{p}_seconds" in report[stage]["counters"], p
+    # every report carries the effective env A/B knobs (SURVEY §5.6):
+    # the import-time values come from the loaded modules, so the
+    # recorded run's full effective config is in the artifact
+    from facerec_tpu.ops.pallas import equalize
+    from facerec_tpu.track import tracker
+
+    knobs = report[stage]["env_knobs"]
+    assert knobs["tracker_unroll"] == tracker.SCAN_UNROLL
+    assert knobs["eq_fold"] == equalize._PACK
+    assert knobs["resize"] in ("xla", "periodic")
+    assert isinstance(knobs["seek_check"], bool)

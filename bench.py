@@ -18,30 +18,43 @@ functions out of THIS file means editing budgets/logging/leg order
 here never re-keys a cached executable (cold compile ~500-700 s on a
 contended tunnel vs ~100 s warm load).
 
-Three JSON lines, in print order:
+Five JSON lines, in print order:
 
-1. ``extract_frames_per_sec_per_chip`` — the north-star device number
-   (SURVEY.md §6): scene statistics (Pallas histogram equalization) +
-   single-stage detection + the SORT tracker scan + face crop +
-   4×FaceNet embedding as ONE fused XLA program per 128-frame block,
-   blocks dispatched back-to-back with device-to-device dependencies
-   only.  Printed FIRST so it is on record even if a later leg dies,
-   re-emitted before each e2e leg (tail insurance), and REPEATED as
-   the final line so single-metric consumers of the tail record it.
-2. ``extract_e2e_frames_per_sec_per_chip`` ``config=parity`` — the
+1. ``extract_frames_per_sec_per_chip`` ``config=…detector=384x512`` —
+   the fused device number at the long-side-512 speed detector: scene
+   statistics (Pallas histogram equalization) + single-stage detection
+   + the SORT tracker scan + face crop + 4×FaceNet embedding as ONE
+   fused XLA program per 128-frame block, blocks dispatched
+   back-to-back with device-to-device dependencies only.  Printed
+   FIRST so it is on record even if a later leg dies, re-emitted
+   before each e2e leg (tail insurance), and REPEATED as the final
+   line so single-metric consumers of the tail record it.
+2. Same metric, ``config=…detector=native-res`` — the SURVEY.md §6
+   north star: frames/s/chip under PARITY semantics (the reference
+   detects at display scale, /root/reference/facerec/detector.py:20),
+   i.e. the same fused program with the native-display-resolution
+   detector input.  Budget-gated (second compile).
+3. ``extract_e2e_frames_per_sec_per_chip`` ``config=parity`` — the
    REAL production loop end to end in a BYTE-EXACT configuration
    (``wire_format=rgb-delta`` — losslessly undone on device,
    ops/yuv.delta_decode; every output byte identical to plain rgb —
    and the native-resolution detector): native C++ decode,
    host→device upload, fused device program (full detector FLOPs;
-   detections overlaid from the synthetic clip's ground truth so the
-   crop/embed/JPEG load is realistic), group-batched fetches, JPEG
-   face images and contract files.  This is the number to hold
-   against BASELINE.md's budget: the reference provisions 100 SLURM
-   GPU shards × ~1800 frames in 3 h ⇒ ~16.7 frames/s for the whole
-   cluster (/root/reference/scripts/extract.sh:11-12, readme.txt:13).
-3. Same metric, ``config=speed`` — the documented speed opt-ins
-   (``wire_format=yuv420-delta``, detector long side 512).
+   detections overlaid from the synthetic clip's ground truth —
+   ``detections=scripted`` in the config string — so the
+   crop/embed/JPEG load is realistic without trained weights),
+   group-batched fetches, JPEG face images and contract files.  This
+   is the number to hold against BASELINE.md's budget: the reference
+   provisions 100 SLURM GPU shards × ~1800 frames in 3 h ⇒ ~16.7
+   frames/s for the whole cluster
+   (/root/reference/scripts/extract.sh:11-12, readme.txt:13).
+4. ``pipeline_frames_per_sec`` — the whole stage list (extract → merge
+   → cluster → classify) on the parity leg's output, per-stage seconds
+   in the config string (/root/reference/facerec-pipeline.py:244-261
+   is the reference analog).
+5. ``extract_e2e_frames_per_sec_per_chip`` ``config=speed`` — the
+   documented speed opt-ins (``wire_format=yuv420-delta``, detector
+   long side 512).
 
 Each e2e leg uses a 1024-frame film (8 blocks = exactly one fetch
 group), a full-run warmup (cheap at this length, and the only way to
@@ -148,7 +161,12 @@ def _quiet_run_extract(*args, **kwargs):
 def bench_e2e_config(label: str, n_frames: int, detector_size,
                      wire_format: str, workers: int = 2,
                      repeats: int = 1):
-    """One labeled end-to-end measurement; returns the JSON line dict."""
+    """One labeled end-to-end measurement.
+
+    Returns ``(line, extra)`` — the JSON line dict plus the output dir
+    and measured extract seconds of the best run, so the pipeline leg
+    can chain merge/cluster/classify onto the same extract output.
+    """
     import jax.numpy as jnp
 
     from facerec_tpu.benchdev import HybridDetector
@@ -186,6 +204,7 @@ def bench_e2e_config(label: str, n_frames: int, detector_size,
     log(f"[{label}] warmup done in {time.perf_counter() - t0:.1f}s")
 
     best = 0.0
+    best_dt = float("inf")
     for _rep in range(max(1, repeats)):
         os.system(f"rm -rf {out}")
         t0 = time.perf_counter()
@@ -194,6 +213,7 @@ def bench_e2e_config(label: str, n_frames: int, detector_size,
         dt = time.perf_counter() - t0
         fps = counters.frames_processed / dt
         best = max(best, fps)
+        best_dt = min(best_dt, dt)
         log(f"[{label}] e2e {fps:.1f} fps "
             f"({counters.frames_processed} frames, "
             f"{counters.saved_boxes} faces, {dt:.1f}s)")
@@ -210,32 +230,40 @@ def bench_e2e_config(label: str, n_frames: int, detector_size,
 
     det_label = ("native-res" if detector_size == NATIVE_SIZE
                  else f"{detector_size[0]}x{detector_size[1]}")
-    return {
+    line = {
         "metric": "extract_e2e_frames_per_sec_per_chip",
         "value": round(best, 2),
         "unit": "frames/s",
         "vs_baseline": round(best / BASELINE_FPS, 2),
         "config": f"{label}: wire={wire_format} detector={det_label} "
-                  f"frames={n_frames} workers={workers}",
+                  f"frames={n_frames} workers={workers} "
+                  f"detections=scripted",
     }
+    return line, {"out": out, "extract_seconds": best_dt,
+                  "frames": n_frames}
 
 
-def bench_device():
-    """The fused-block device throughput headline; returns the line."""
-    import jax
+def bench_device(label: str, detector_size, bank=None):
+    """One fused-block device throughput headline; returns the line.
 
+    ``label``/``detector_size`` select the config: the long-side-512
+    speed detector or the native-display-resolution parity detector
+    (the reference detects at display scale,
+    /root/reference/facerec/detector.py:20 — frames/s/chip under parity
+    semantics is the BASELINE.md north-star metric).  Pass ``bank`` to
+    reuse the 4-checkpoint FaceNet init across configs.
+    """
     from facerec_tpu.benchdev import make_device_step
 
-    log(f"devices: {jax.devices()}")
-    log("building models + inputs...")
-    step, args = make_device_step(DETECTOR_SIZE, BLOCK, HEIGHT, WIDTH,
-                                  CROPS_PER_BLOCK)
+    log(f"[device-{label}] building models + inputs...")
+    step, args = make_device_step(detector_size, BLOCK, HEIGHT, WIDTH,
+                                  CROPS_PER_BLOCK, bank=bank)
     (det_vars, backbone_stack, bottlenecks, frames,
      scene_s, tracker_s, crop_boxes, crop_frames) = args
 
     t0 = time.perf_counter()
-    log("compiling fused block program (warm-key load ~100s, cold "
-        "~500-700s on a contended tunnel)...")
+    log(f"[device-{label}] compiling fused block program (warm-key "
+        "load ~100s, cold ~500-700s on a contended tunnel)...")
     fp, scene_s, tracker_s = step(det_vars, backbone_stack, bottlenecks,
                                   frames, scene_s, tracker_s,
                                   crop_boxes, crop_frames)
@@ -261,13 +289,15 @@ def bench_device():
         elapsed = min(elapsed, time.perf_counter() - start)
 
     fps = (N_BLOCKS * BLOCK) / elapsed
+    det_label = ("native-res" if detector_size == NATIVE_SIZE
+                 else f"{detector_size[0]}x{detector_size[1]}")
     return {
         "metric": "extract_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),
         "config": f"device-only block={BLOCK} "
-                  f"detector={DETECTOR_SIZE[0]}x{DETECTOR_SIZE[1]} bf16",
+                  f"detector={det_label} bf16",
     }
 
 
@@ -275,13 +305,105 @@ def emit(line: dict) -> None:
     print(json.dumps(line), flush=True)
 
 
+def _make_actor_zip(adir: str, emb_dim: int = 128) -> None:
+    """Synthetic actor-images.zip (3 actors) so classify has ≥3 classes."""
+    import zipfile
+
+    rng = np.random.default_rng(7)
+    os.makedirs(adir, exist_ok=True)
+    with zipfile.ZipFile(os.path.join(adir, "actor-images.zip"), "w") as z:
+        for aid in (101, 202, 303):
+            for k in range(4):
+                z.writestr(f"a{aid}_{k}.jpeg.json", json.dumps({
+                    "box": [0, 0, 20, 20],
+                    "embeddings": {"20170512-110547":
+                                   rng.normal(size=emb_dim).tolist()},
+                    "actorID": str(aid), "actorname": f"Actor {aid}"}))
+
+
+def bench_pipeline(extract_extra: dict):
+    """Full-pipeline wall clock: extract (already measured) + merge +
+    cluster + classify on the SAME output dir, one recorded line.
+
+    The reference's product is the whole stage list with per-stage
+    timing (/root/reference/facerec/facerec-pipeline.py:244-261); this
+    leg puts an end-to-end number — film frames over the sum of every
+    stage's wall — on the driver artifact.  merge uses
+    --min-face-size 20 (synthetic faces are 28-44 px; the reference
+    default 50 is calibrated for real films).
+    """
+    from facerec_tpu.pipeline import classify, cluster, merge
+
+    out = extract_extra["out"]
+    frames = extract_extra["frames"]
+    stage_s = {"extract": extract_extra["extract_seconds"]}
+    adir = os.path.join(out, "actors")
+    _make_actor_zip(adir)
+    stages = [
+        ("merge", merge.main, ["--path", f"{out}/*-data",
+                               "--min-face-size", "20"]),
+        ("cluster", cluster.main, ["--path", f"{out}/*-data"]),
+        ("classify", classify.main,
+         ["--path", f"{out}/125261-data", "--actors-dir", adir]),
+    ]
+    for name, main, argv in stages:
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(io.StringIO()):
+            main(argv)
+        stage_s[name] = time.perf_counter() - t0
+    for f in ("trajectories.jsonl", "clusters.json", "predictions.json"):
+        assert os.path.exists(f"{out}/125261-data/{f}"), f
+    total = sum(stage_s.values())
+    fps = frames / total
+    breakdown = " ".join(f"{k}={v:.2f}s" for k, v in stage_s.items())
+    log(f"[pipeline] {fps:.1f} fps end-to-end ({breakdown})")
+    return {
+        "metric": "pipeline_frames_per_sec",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "config": f"extract(parity)+merge+cluster+classify "
+                  f"frames={frames} detections=scripted {breakdown}",
+    }
+
+
+PARITY_DEVICE_MIN_BUDGET = 450.0  # skip the 2nd device compile below this
+
+
 def run_default(args) -> None:
-    """Budget-gated default mode: device headline + labeled e2e legs."""
-    headline = None
+    """Budget-gated default mode: device headlines + labeled e2e legs.
+
+    Print order: speed device headline (warmest program — something is
+    on record fast), parity device headline (the north-star:
+    frames/s/chip with the native-resolution detector,
+    /root/reference/facerec/detector.py:20), parity e2e, full-pipeline
+    leg chained on the parity extract output, speed e2e.  Every
+    measured line re-emits in the ``finally`` block so the driver's
+    short output tail carries ALL metrics, device headline last for
+    single-metric consumers.
+    """
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    measured: list = []
     try:
         arm_watchdog()
-        headline = bench_device()
+        headline = bench_device("speed", DETECTOR_SIZE)
+        measured.append(headline)
         emit(headline)   # on record immediately
+
+        if remaining() >= PARITY_DEVICE_MIN_BUDGET:
+            import jax.numpy as jnp
+
+            from facerec_tpu.pipeline.extract import EmbedderBank
+
+            bank = EmbedderBank.create_default(dtype=jnp.bfloat16)
+            measured.append(bench_device("parity", NATIVE_SIZE,
+                                         bank=bank))
+            emit(measured[-1])
+        else:
+            log(f"[device-parity] SKIPPED: {remaining():.0f}s left "
+                f"< {PARITY_DEVICE_MIN_BUDGET:.0f}s minimum")
 
         e2e_legs = [
             # parity first: the claim that matters (beats the 16.7 fps
@@ -303,8 +425,14 @@ def run_default(args) -> None:
                 continue
             emit(headline)   # tail insurance if this leg is killed
             try:
-                emit(bench_e2e_config(label, args.frames, det_size, wire,
-                                      repeats=args.repeats))
+                line, extra = bench_e2e_config(label, args.frames,
+                                               det_size, wire,
+                                               repeats=args.repeats)
+                measured.append(line)
+                emit(line)
+                if label == "parity" and remaining() > 30:
+                    measured.append(bench_pipeline(extra))
+                    emit(measured[-1])
             except BenchTimeout:
                 log(f"[{label}] ABORTED by watchdog "
                     f"({BUDGET:.0f}s budget)")
@@ -313,10 +441,11 @@ def run_default(args) -> None:
         log(f"watchdog fired ({BUDGET:.0f}s budget)")
     finally:
         signal.alarm(0)
-        if headline is not None:
-            # repeat the headline as the FINAL line for single-metric
-            # consumers of the output tail
-            emit(headline)
+        # re-emit EVERY measured line as the final block (the driver
+        # records only a short output tail; the device headline goes
+        # last for single-metric consumers)
+        for line in measured[1:] + measured[:1]:
+            emit(line)
 
 
 def run_e2e_sweep(args) -> None:
@@ -337,9 +466,10 @@ def run_e2e_sweep(args) -> None:
         r.close()
         log(f"decode-only (workers={w}): {seen / dt:.0f} fps")
     for w in workers:
-        emit(bench_e2e_config(f"sweep-w{w}", args.frames,
-                              DETECTOR_SIZE, args.wire_format,
-                              workers=w, repeats=args.repeats))
+        line, _extra = bench_e2e_config(f"sweep-w{w}", args.frames,
+                                        DETECTOR_SIZE, args.wire_format,
+                                        workers=w, repeats=args.repeats)
+        emit(line)
 
 
 if __name__ == "__main__":

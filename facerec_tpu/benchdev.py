@@ -48,7 +48,7 @@ class HybridDetector:
 
 
 def make_device_step(detector_size, block, height, width,
-                     crops_per_block):
+                     crops_per_block, bank=None):
     """Build the fused device-headline program and its inputs.
 
     Returns ``(step, args)`` where ``step(*args)`` runs scene
@@ -56,6 +56,11 @@ def make_device_step(detector_size, block, height, width,
     embedding for one frame block as ONE XLA computation, returning
     ``(fingerprint, scene_state, tracker_state)``; callers thread the
     two states back in through ``args[4]``/``args[5]``.
+
+    ``bank`` (an ``EmbedderBank``) may be passed in so a second
+    device-headline config (the native-resolution parity detector)
+    reuses the 4-checkpoint FaceNet init — the bank's init dispatches
+    are minutes of RPC latency on the tunneled harness.
     """
     import jax
     import jax.numpy as jnp
@@ -71,7 +76,8 @@ def make_device_step(detector_size, block, height, width,
     detector = DetectorHarness.create(
         input_size=detector_size, max_detections=16,
         score_threshold=0.95, dtype=compute_dtype)
-    bank = EmbedderBank.create_default(dtype=compute_dtype)
+    if bank is None:
+        bank = EmbedderBank.create_default(dtype=compute_dtype)
     tracker_cfg = TrackerConfig(max_tracks=32, max_detections=16)
 
     def block_step(det_vars, backbone_stack, bottlenecks, frames,

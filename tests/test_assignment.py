@@ -70,6 +70,7 @@ def test_associate_optimal_swap():
     assert out.tolist() == [1, 0]
 
 
+@pytest.mark.slow
 def test_associate_random_matches_scipy(rng):
     """Fast path and JV fallback must agree with a scipy-based oracle on
     the reference semantics (threshold demotion + post-filter)."""

@@ -47,6 +47,7 @@ def read_outputs(out):
     }
 
 
+@pytest.mark.slow
 def test_crash_resume_byte_identical(clip, tmp_path):
     clean = str(tmp_path / "clean")
     run(clip, clean, ScriptedDetector(clip, max_detections=8))

@@ -71,6 +71,7 @@ def test_dataset_batches(wider_dir):
     assert chw.shape == (2, 2) and (chw <= 64).all() and (chw > 0).all()
 
 
+@pytest.mark.slow
 def test_wider_train_step_runs(wider_dir, tmp_path):
     """One real optimizer step on WIDER-style data (landmark head
     frozen) and the checkpoint loads back into a harness."""

@@ -320,6 +320,7 @@ def test_fetch_grouping_crash_resume(clip, tmp_path):
     _compare_shard_files(f"{clean}/125261-data", f"{crashed}/125261-data")
 
 
+@pytest.mark.slow
 def test_full_hd_film_e2e(tmp_path):
     """≥1080p display resolution through the full extract path — the
     resolution class where the scene kernel's plane exceeds the fused
@@ -355,6 +356,7 @@ def test_full_hd_film_e2e(tmp_path):
     assert len(os.listdir(f"{d}/images")) == len(feats)
 
 
+@pytest.mark.slow
 def test_odd_geometry_film(tmp_path):
     """Non-standard frame geometry end to end: odd crop inset, row
     padding in the scene kernel packing, AR-fitted detector sizing."""
@@ -413,6 +415,7 @@ def test_one_flush_dispatch_per_fetch_group(clip, tmp_path):
     assert bank.packed_calls == bank.crop_embed_calls
 
 
+@pytest.mark.slow
 def test_grouped_fetch_byte_identity(clip, tmp_path):
     """The loop batches every fetch group's packed payloads into ONE
     joined device→host transfer; output files must match the
@@ -434,6 +437,7 @@ def test_grouped_fetch_byte_identity(clip, tmp_path):
     _compare_shard_files(outs[1], outs[64])
 
 
+@pytest.mark.slow
 def test_grouped_fetch_crash_resume(clip, tmp_path, monkeypatch):
     """Group-batched fetch + checkpoints: a run crashed mid-film
     resumes to byte-identical output (the checkpointed device state is
@@ -482,6 +486,7 @@ def test_grouped_fetch_crash_resume(clip, tmp_path, monkeypatch):
     _compare_shard_files(f"{clean}/125261-data", f"{crashed}/125261-data")
 
 
+@pytest.mark.slow
 def test_wire_format_yuv420_delta(clip, tmp_path):
     """The delta-I420 wire format (cfg.wire_format, ops/yuv.py) runs
     the same pipeline with half the upload bytes: scene cuts and
@@ -575,6 +580,7 @@ def test_plan_flush_requeue_keeps_frame_order(tmp_path):
     assert [f["frame"] for f in feats] == [4, 6, 7, 8, 9]
 
 
+@pytest.mark.slow
 def test_feature_records_frame_ordered_e2e(tmp_path):
     """End-to-end invariant: features.jsonl is monotone in frame (with
     cuts, flickering detections and grouped fetches in play)."""
@@ -601,6 +607,7 @@ def test_feature_records_frame_ordered_e2e(tmp_path):
     assert frames and frames == sorted(frames)
 
 
+@pytest.mark.slow
 def test_wire_format_rgb_delta_byte_identical(clip, tmp_path):
     """The rgb-delta wire must not change ONE output byte vs the plain
     rgb wire: the device undoes the uint8-wraparound deltas exactly

@@ -1,6 +1,7 @@
 """FaceNet triplet training: mining correctness + loss decreases."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from facerec_tpu.train.facenet_train import (pairwise_sq_dists,
                                              semi_hard_triplet_loss)
@@ -37,6 +38,7 @@ def test_triplet_loss_positive_when_mixed(rng):
     assert loss > 0.0
 
 
+@pytest.mark.slow
 def test_trainer_loss_decreases(rng):
     """Tiny embedder (reuse detector-trainer style smoke): to keep the
     test light we train the full FaceNet for 3 steps on 8 crops."""

@@ -41,6 +41,7 @@ def torch_weights_dir(tmp_path_factory):
     return str(d), templates
 
 
+@pytest.mark.slow
 def test_resolve_formats_agree(torch_weights_dir, tmp_path):
     """The same weights load identically through .pt and orbax."""
     d, templates = torch_weights_dir
@@ -90,6 +91,7 @@ def test_embedder_bank_from_weights(torch_weights_dir):
     np.testing.assert_allclose(out[name], want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_detector_orbax_roundtrip(tmp_path, rng):
     """Save a harness's variables, load via load_detector_harness,
     detections are identical."""
@@ -107,6 +109,7 @@ def test_detector_orbax_roundtrip(tmp_path, rng):
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_detector_slim_width_roundtrip(tmp_path, rng):
     """A slim-backbone checkpoint restores with its width inferred from
     the stem kernel — no width flag needed at load time."""

@@ -25,6 +25,7 @@ def test_facenet_shapes_and_norm(embedder, rng):
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_facenet_batch_independent(embedder, rng):
     crops = rng.integers(0, 255, (4, 160, 160, 3)).astype(np.uint8)
     full = np.asarray(embedder(jnp.asarray(crops)))
@@ -72,6 +73,7 @@ def test_detector_jit_stability(detector, rng):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pooled_embedders_match_individual(rng):
     """The one-program vmapped-backbone embed must reproduce each
     checkpoint's individual forward to f32 roundoff."""
@@ -133,6 +135,7 @@ def test_fit_input_size_small_film_no_upscale():
     assert fit_input_size(100, 100) == (128, 128)
 
 
+@pytest.mark.slow
 def test_build_detector_honors_config_backbone_width(monkeypatch):
     """ExtractConfig.backbone_width reaches random-init harnesses (the
     gated speed knob); checkpoints keep inferring their own width."""

@@ -34,6 +34,7 @@ def _np_counts(y):
     return np.stack([np.bincount(i.ravel(), minlength=256) for i in idx])
 
 
+@pytest.mark.slow
 def test_equalize_raw_and_hist(rng):
     for shape in [(2, 33, 64), (1, 100, 130), (2, 48, 512)]:
         b, h, w = shape
@@ -74,6 +75,7 @@ def test_equalize_constant_plane():
     assert np.asarray(cum)[0, 76] == 0
 
 
+@pytest.mark.slow
 def test_tiled_path_bit_identical_to_fused(rng, monkeypatch):
     """Force multi-tile execution with a tiny tile budget: the tiled
     two-pass pair must reproduce the fused kernel bit-for-bit,

@@ -36,6 +36,7 @@ def mesh():
     return frame_mesh()
 
 
+@pytest.mark.slow
 def test_sharded_scene_matches_serial(mesh, rng):
     frames = make_clip(rng, n=32, h=48, w=64, n_cuts=4)
     serial, _ = scene_ops.detect_block(
@@ -49,6 +50,7 @@ def test_sharded_scene_matches_serial(mesh, rng):
                                   np.asarray(serial))
 
 
+@pytest.mark.slow
 def test_sharded_tracker_uid_namespaces(mesh, rng):
     frames = make_clip(rng, n=16, h=48, w=64, n_cuts=0)
     out = sharded_extract_step(
@@ -65,6 +67,7 @@ def test_sharded_tracker_uid_namespaces(mesh, rng):
             assert (sl // UID_STRIDE == dev).all()
 
 
+@pytest.mark.slow
 def test_sharded_detections_match_serial(mesh, rng):
     frames = make_clip(rng, n=16, h=48, w=64)
     det = BrightBoxDetector()
@@ -78,6 +81,7 @@ def test_sharded_detections_match_serial(mesh, rng):
                                np.asarray(serial.boxes))
 
 
+@pytest.mark.slow
 def test_sharded_scene_mid_film_warmup(mesh, rng):
     """With block_frame0 > 0 device 0 has no left halo; its first two
     local frames must warm up (stay False) exactly like a fresh serial

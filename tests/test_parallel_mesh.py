@@ -11,8 +11,11 @@ import filecmp
 import json
 import os
 
-import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
+
+import numpy as np
 
 import jax
 

@@ -224,6 +224,7 @@ def test_distill_improves_detection_parity(clip, tmp_path):
     assert m_post["recall"] > m_pre["recall"], (m_pre, m_post)
 
 
+@pytest.mark.slow
 def test_distill_trains_and_checkpoint_loads(clip, tmp_path):
     import jax.numpy as jnp
 
@@ -300,6 +301,91 @@ def test_parity_rehearsal_end_to_end(tmp_path):
         extract_cfg=extract_cfg, embedders=StubEmbedderBank())
     assert rep2["detector"]["pass"] is False
     assert rep2["pass"] is False
+
+
+@pytest.mark.slow
+def test_parity_rehearsal_facenet_weights_dir_passes(tmp_path):
+    """The remaining rehearsal branch (VERDICT r4 next-step #9): a
+    4-checkpoint FaceNet weights dir (our orbax layout) flows through
+    the rehearsal's production extract and the embedding gate PASSES on
+    the real bank — the first real-weights user hits no first-time
+    code.  The 'reference' run uses the SAME weights dir and the same
+    scripted detector, so parity must hold exactly (same crops, same
+    imported parameters)."""
+    from facerec_tpu.config import (FACENET_DIMS, FACENET_MODELS,
+                                    ExtractConfig)
+    from facerec_tpu.models import FaceNetEmbedder
+    from facerec_tpu.models.weights import save_params
+    from facerec_tpu.pipeline.extract import run_extract
+    from facerec_tpu.tools.parity_rehearsal import run_rehearsal
+    from facerec_tpu.video.synth import ScriptedDetector, make_clip
+
+    class EvalAwareScripted(ScriptedDetector):
+        """ScriptedDetector that also satisfies the detector_eval
+        protocol: harness_predictions batches (frame, image) pairs by
+        POSITION, so the eval-phase calls replay truth in the known
+        frame order instead of block offsets."""
+
+        def __init__(self, clip, eval_order, **kw):
+            super().__init__(clip, **kw)
+            self._eval_order = list(eval_order)
+
+        def __call__(self, frames):
+            if not self._eval_order:
+                return super().__call__(frames)
+            idxs = self._eval_order[:frames.shape[0]]
+            del self._eval_order[:len(idxs)]
+            saved = self._frame0
+            try:
+                # replay one frame at a time at its absolute index
+                import jax.numpy as jnp
+
+                from facerec_tpu.models.detector import Detections
+                outs = []
+                for row, fi in enumerate(idxs):
+                    self._frame0 = fi
+                    outs.append(super().__call__(frames[row:row + 1]))
+                return Detections(
+                    jnp.concatenate([o.boxes for o in outs]),
+                    jnp.concatenate([o.scores for o in outs]),
+                    jnp.concatenate([o.landmarks for o in outs]),
+                    jnp.concatenate([o.valid for o in outs]))
+            finally:
+                self._frame0 = saved
+
+    wdir = str(tmp_path / "fweights")
+    for i, name in enumerate(FACENET_MODELS):
+        emb = FaceNetEmbedder(name, FACENET_DIMS[name], rng_seed=i)
+        save_params(os.path.join(wdir, name), emb.variables)
+
+    clip = make_clip(str(tmp_path / "97-Weights.mp4"), n_frames=16,
+                     cuts=(), seed=5)
+    cfg = ExtractConfig(block_frames=16, max_detections=8, max_tracks=16,
+                        save_images=False, save_every=2, resume=False)
+    refout = str(tmp_path / "ref")
+    run_extract(clip.path, cfg, refout,
+                detector=ScriptedDetector(clip, max_detections=8),
+                facenet_weights=wdir)
+    ref_feats = f"{refout}/97-data/features/features_97_0-16.jsonl"
+    recs = [json.loads(l) for l in open(ref_feats)]
+    assert recs and all(len(r["embeddings"]) == 4 for r in recs)
+
+    eval_frames = sorted({r["frame"] for r in recs})
+    rep = run_rehearsal(
+        clip.path, ref_feats, str(tmp_path / "out"),
+        facenet_weights=wdir, long_side=96, max_p95=1e-4,
+        min_recall=0.9, min_precision=0.9, extract_cfg=cfg,
+        detector=EvalAwareScripted(clip, eval_frames, max_detections=8))
+
+    assert "distill" not in rep          # injected detector skips distill
+    assert rep["detector"]["pass"] is True
+    assert rep["embeddings"]["n_matched"] > 0
+    # all four checkpoints imported and byte-identical crops → ~0 dist
+    cks = rep["embeddings"]["checkpoints"]
+    assert sorted(cks) == sorted(FACENET_MODELS)
+    for name, ck in cks.items():
+        assert ck["pass"] is True, (name, ck)
+    assert rep["pass"] is True
 
 
 @pytest.mark.slow

@@ -14,6 +14,7 @@ from facerec_tpu.ops.resize import _axis_plan, letterbox_resize
     (576, 768, 288, 384, True),     # 1/2
     (210, 150, 96, 64, False),      # irregular → fallback
 ])
+@pytest.mark.slow
 def test_matches_xla_resize(rng, h, w, sh, sw, periodic):
     x = jnp.asarray(rng.uniform(0, 255, (2, h, w, 3)), jnp.float32)
     want = jax.image.resize(x, (2, sh, sw, 3), "bilinear")
@@ -47,6 +48,7 @@ def test_first_use_inside_jit_trace(rng):
     assert float(jnp.abs(want - got).max()) < 2e-3
 
 
+@pytest.mark.slow
 def test_detector_detections_identical_across_resize_paths(rng,
                                                            monkeypatch):
     """The parity requirement: periodic-resize detections == XLA-resize

@@ -32,6 +32,7 @@ def test_soak_trimmed(tmp_path):
     assert os.path.exists(f"{tmp_path}/soak/soak_report.json")
 
 
+@pytest.mark.slow
 def test_soak_smoke(tmp_path):
     """Fast plumbing check: tiny film, images off, rgb wire."""
     report = run_soak(

@@ -64,6 +64,7 @@ def run_device(det_stream, scene_flags, width, height, cfg, block=16):
 
 
 @pytest.mark.parametrize("seed,block", [(0, 16), (1, 7), (2, 120), (3, 1)])
+@pytest.mark.slow
 def test_matches_oracle(seed, block):
     rng = np.random.default_rng(seed)
     width, height = 320, 240
@@ -87,6 +88,7 @@ def test_matches_oracle(seed, block):
                                    atol=1)
 
 
+@pytest.mark.slow
 def test_face_validity_matches_oracle():
     rng = np.random.default_rng(7)
     width, height = 320, 240

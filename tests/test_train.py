@@ -38,6 +38,7 @@ def test_anchor_targets_assign(rng):
     assert np.all(np.abs(cx - 22.0) < 1.0)
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(rng):
     trainer = DetectorTrainer(FaceDetector(fpn_features=16),
                               input_size=SIZE, learning_rate=1e-3)
@@ -50,6 +51,7 @@ def test_train_step_decreases_loss(rng):
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_train_step_sharded(rng):
     mesh = frame_mesh()
     trainer = DetectorTrainer(FaceDetector(fpn_features=16),
@@ -60,6 +62,7 @@ def test_train_step_sharded(rng):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_training_updates_batch_stats(rng):
     """BN must run in batch mode during training: the running mean moves
     away from its zero init (it stayed frozen before the train-flag

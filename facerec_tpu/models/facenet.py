@@ -14,6 +14,7 @@ prewhitening of the 160×160 crop, forward pass, then L2 normalization
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import flax.linen as nn
@@ -91,24 +92,32 @@ class FaceNet(nn.Module):
     the backbone is architecturally identical across all four reference
     checkpoints (only the bottleneck dim differs), which lets the
     extract stage vmap all four backbones in one program.
+
+    With ``skip_stem`` the input is expected to be the post-stem
+    17×17×256 activations (the pooled multi-checkpoint path computes
+    the four stems as ONE folded/grouped pass over the shared crops —
+    see :func:`folded_stem`); the stem parameters in the variables tree
+    are simply unused.
     """
 
     embedding_dim: int = 512
     dtype: Any = jnp.float32
     pool_only: bool = False
+    skip_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         d = self.dtype
         x = x.astype(d)
-        # Stem (VALID paddings per the TF graph)
-        x = ConvBN(32, 3, 2, "VALID", dtype=d, name="Conv2d_1a_3x3")(x, train)
-        x = ConvBN(32, 3, 1, "VALID", dtype=d, name="Conv2d_2a_3x3")(x, train)
-        x = ConvBN(64, 3, 1, "SAME", dtype=d, name="Conv2d_2b_3x3")(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
-        x = ConvBN(80, 1, 1, "VALID", dtype=d, name="Conv2d_3b_1x1")(x, train)
-        x = ConvBN(192, 3, 1, "VALID", dtype=d, name="Conv2d_4a_3x3")(x, train)
-        x = ConvBN(256, 3, 2, "VALID", dtype=d, name="Conv2d_4b_3x3")(x, train)
+        if not self.skip_stem:
+            # Stem (VALID paddings per the TF graph)
+            x = ConvBN(32, 3, 2, "VALID", dtype=d, name="Conv2d_1a_3x3")(x, train)
+            x = ConvBN(32, 3, 1, "VALID", dtype=d, name="Conv2d_2a_3x3")(x, train)
+            x = ConvBN(64, 3, 1, "SAME", dtype=d, name="Conv2d_2b_3x3")(x, train)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+            x = ConvBN(80, 1, 1, "VALID", dtype=d, name="Conv2d_3b_1x1")(x, train)
+            x = ConvBN(192, 3, 1, "VALID", dtype=d, name="Conv2d_4a_3x3")(x, train)
+            x = ConvBN(256, 3, 2, "VALID", dtype=d, name="Conv2d_4b_3x3")(x, train)
 
         for i in range(5):
             x = Block35(dtype=d, name=f"Repeat_block35_{i + 1}")(x, train)
@@ -260,8 +269,65 @@ def _split_bottleneck(variables):
     return backbone, bottleneck
 
 
+# The stem's ConvBN layers in order: (name, stride, padding); a 3×3/2
+# max-pool follows layer index 2 (Conv2d_2b_3x3).
+_STEM_LAYERS = (
+    ("Conv2d_1a_3x3", 2, "VALID"),
+    ("Conv2d_2a_3x3", 1, "VALID"),
+    ("Conv2d_2b_3x3", 1, "SAME"),
+    ("Conv2d_3b_1x1", 1, "VALID"),
+    ("Conv2d_4a_3x3", 1, "VALID"),
+    ("Conv2d_4b_3x3", 2, "VALID"),
+)
+
+# Fold the K checkpoints' stems into one grouped pass over the shared
+# crops (FACEREC_STEM_FOLD=1).  Measured on v5e (scripts/stem_ab.py +
+# fused-program A/B, docs/DESIGN.md "FaceNet stem fold"): the stem is
+# HBM/lane-bound at 32-64 channels, and the fold lane-aligns it
+# (conv1 Cout 4×32=128 over ONE read of the shared input; later stem
+# convs as feature_group_count=4).  Not bit-identical to the unrolled
+# stems (conv-sum reassociation at bf16, ≤0.8% of activation scale),
+# which is why the knob exists rather than a silent default change.
+_STEM_FOLD = os.environ.get("FACEREC_STEM_FOLD", "0") == "1"
+
+
+def folded_stem(backbone_stack, x, n_ckpts: int, dtype: Any):
+    """(N,160,160,3) prewhitened crops → (K, N, 17, 17, 256) stem
+    activations for all K stacked checkpoints in one grouped pass.
+
+    Matched math with the per-checkpoint stems: kernels concatenate on
+    the output-channel axis (conv1 runs once over the shared input;
+    every later conv is a K-group conv), BN affine vectors concatenate
+    per channel."""
+    from jax import lax
+
+    params = backbone_stack["params"]
+    stats = backbone_stack["batch_stats"]
+    for li, (name, stride, pad) in enumerate(_STEM_LAYERS):
+        k = params[name]["Conv_0"]["kernel"]          # (K, kh, kw, ci, co)
+        kf = jnp.moveaxis(k, 0, 3).reshape(
+            k.shape[1], k.shape[2], k.shape[3], n_ckpts * k.shape[4])
+        b = params[name]["BatchNorm_0"]["bias"].reshape(-1)
+        m = stats[name]["BatchNorm_0"]["mean"].reshape(-1)
+        v = stats[name]["BatchNorm_0"]["var"].reshape(-1)
+        inv = lax.rsqrt(v.astype(jnp.float32) + 1e-3).astype(dtype)
+        shift = b.astype(dtype) - m.astype(dtype) * inv
+        x = lax.conv_general_dilated(
+            x.astype(dtype), kf.astype(dtype), (stride, stride), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=1 if li == 0 else n_ckpts)
+        x = jax.nn.relu(x * inv + shift)
+        if li == 2:
+            x = lax.reduce_window(x, -jnp.inf, lax.max, (1, 3, 3, 1),
+                                  (1, 2, 2, 1), "VALID")
+    n, h, w, c = x.shape
+    return jnp.moveaxis(
+        x.reshape(n, h, w, n_ckpts, c // n_ckpts), 3, 0)
+
+
 @functools.lru_cache(maxsize=None)
-def _jitted_pooled_embed(n_ckpts: int, dtype: Any):
+def _jitted_pooled_embed(n_ckpts: int, dtype: Any,
+                         fold_stem: bool = _STEM_FOLD):
     """Compiled embed over ALL checkpoints in one program: unrolled
     per-checkpoint backbones plus per-checkpoint bottleneck matmuls.
 
@@ -272,15 +338,25 @@ def _jitted_pooled_embed(n_ckpts: int, dtype: Any):
     the group axis. Plain convs per checkpoint read/write the same
     bytes with no relayout — measured 10.3 → 9.0 ms per 64-crop block
     on v5e, and the op form now matches the individual-embedder path
-    exactly."""
-    model = FaceNet(dtype=dtype, pool_only=True)
+    exactly.  ``fold_stem`` (FACEREC_STEM_FOLD) instead runs the four
+    STEMS (only) as one folded grouped pass — see :func:`folded_stem`;
+    Block35 onward stays unrolled either way."""
+    model = FaceNet(dtype=dtype, pool_only=True, skip_stem=fold_stem)
 
     @jax.jit
     def embed(backbone_stack, bottlenecks, crops):
         x = prewhiten(crops)
-        feats = [
-            model.apply(jax.tree.map(lambda a, i=i: a[i], backbone_stack), x)
-            for i in range(n_ckpts)]
+        if fold_stem:
+            towers = folded_stem(backbone_stack, x, n_ckpts, dtype)
+            feats = [
+                model.apply(jax.tree.map(lambda a, i=i: a[i],
+                                         backbone_stack), towers[i])
+                for i in range(n_ckpts)]
+        else:
+            feats = [
+                model.apply(jax.tree.map(lambda a, i=i: a[i],
+                                         backbone_stack), x)
+                for i in range(n_ckpts)]
         outs = []
         for i in range(n_ckpts):
             b = bottlenecks[i]

@@ -28,6 +28,7 @@ def effective_env_knobs() -> Dict[str, object]:
     """
     tracker = sys.modules.get("facerec_tpu.track.tracker")
     equalize = sys.modules.get("facerec_tpu.ops.pallas.equalize")
+    facenet = sys.modules.get("facerec_tpu.models.facenet")
     return {
         "tracker_unroll": (tracker.SCAN_UNROLL if tracker is not None
                            else int(os.environ.get(
@@ -36,6 +37,9 @@ def effective_env_knobs() -> Dict[str, object]:
                     else int(os.environ.get("FACEREC_EQ_FOLD", "1"))),
         "resize": os.environ.get("FACEREC_RESIZE", "xla"),
         "seek_check": os.environ.get("FACEREC_SEEK_CHECK", "1") != "0",
+        "stem_fold": (facenet._STEM_FOLD if facenet is not None
+                      else os.environ.get("FACEREC_STEM_FOLD",
+                                          "0") == "1"),
     }
 
 

@@ -93,6 +93,29 @@ def test_pooled_embedders_match_individual(rng):
                                    atol=1e-5)
 
 
+@pytest.mark.slow
+def test_pooled_fold_stem_matches_unrolled(rng):
+    """FACEREC_STEM_FOLD runs the checkpoints' stems as ONE grouped
+    pass; matched math with the unrolled stems to f32 conv roundoff
+    (not bit-identical: conv-sum reassociation)."""
+    import jax.numpy as jnp
+
+    from facerec_tpu.models import FaceNetEmbedder
+    from facerec_tpu.models.facenet import (PooledStackedEmbedders,
+                                            _jitted_pooled_embed)
+
+    embs = [FaceNetEmbedder(f"ck{i}", 128, rng_seed=i) for i in range(2)]
+    pooled = PooledStackedEmbedders(embs)
+    crops = jnp.asarray(rng.integers(0, 255, (3, 160, 160, 3)), jnp.uint8)
+    fold = _jitted_pooled_embed(2, jnp.float32, fold_stem=True)(
+        pooled.backbone_stack, pooled.bottlenecks, crops)
+    unrolled = _jitted_pooled_embed(2, jnp.float32, fold_stem=False)(
+        pooled.backbone_stack, pooled.bottlenecks, crops)
+    for a, b in zip(fold, unrolled):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4)
+
+
 def test_fit_input_size():
     from facerec_tpu.models.detector import fit_input_size
 

@@ -26,20 +26,22 @@ def effective_env_knobs() -> Dict[str, object]:
     module when present — the process's actual behaviour — falling back
     to the same env/default read the module would perform.
     """
-    tracker = sys.modules.get("facerec_tpu.track.tracker")
-    equalize = sys.modules.get("facerec_tpu.ops.pallas.equalize")
-    facenet = sys.modules.get("facerec_tpu.models.facenet")
+    def from_module(mod_name: str, attr: str, fallback):
+        mod = sys.modules.get(mod_name)
+        return getattr(mod, attr, fallback) if mod is not None else fallback
+
     return {
-        "tracker_unroll": (tracker.SCAN_UNROLL if tracker is not None
-                           else int(os.environ.get(
-                               "FACEREC_TRACKER_UNROLL", "8"))),
-        "eq_fold": (equalize._PACK if equalize is not None
-                    else int(os.environ.get("FACEREC_EQ_FOLD", "1"))),
+        "tracker_unroll": from_module(
+            "facerec_tpu.track.tracker", "SCAN_UNROLL",
+            int(os.environ.get("FACEREC_TRACKER_UNROLL", "8"))),
+        "eq_fold": from_module(
+            "facerec_tpu.ops.pallas.equalize", "_PACK",
+            int(os.environ.get("FACEREC_EQ_FOLD", "1"))),
         "resize": os.environ.get("FACEREC_RESIZE", "xla"),
         "seek_check": os.environ.get("FACEREC_SEEK_CHECK", "1") != "0",
-        "stem_fold": (facenet._STEM_FOLD if facenet is not None
-                      else os.environ.get("FACEREC_STEM_FOLD",
-                                          "0") == "1"),
+        "stem_fold": from_module(
+            "facerec_tpu.models.facenet", "_STEM_FOLD",
+            os.environ.get("FACEREC_STEM_FOLD", "0") == "1"),
     }
 
 

@@ -193,7 +193,13 @@ def run_soak(out: str, n_frames: int = 100_000, width: int = 256,
     n_images = (len(os.listdir(os.path.join(data_dir, "images")))
                 if save_images else 0)
 
+    import jax
+
     report = {
+        "recorded_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                      time.gmtime()),
+        "platform": jax.devices()[0].platform,
+        "host_cpus": os.cpu_count(),
         "n_frames": n_frames,
         "resolution": f"{width}x{height}",
         "wire_format": wire_format,

@@ -278,6 +278,43 @@ def facenet_params_from_keras_h5(h5_path: str, template_variables) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# single-file compact checkpoints (.npz)
+
+def save_params_npz(path: str, variables, cast=None) -> None:
+    """Flatten a variables tree into ONE compressed ``.npz`` file.
+
+    The orbax format (:func:`save_params`) is a directory tree — right
+    for training runs, wrong for a small committed fixture.  ``cast``
+    (e.g. ``np.float16``) halves the file for fixtures whose consumers
+    recalibrate against the cast weights anyway (tests/data/ probe
+    checkpoints).
+    """
+    flat = _flatten(variables)
+    out = {}
+    for p, leaf in flat.items():
+        arr = np.asarray(leaf)
+        if cast is not None and np.issubdtype(arr.dtype, np.floating):
+            arr = arr.astype(cast)
+        out["/".join(p)] = arr
+    np.savez_compressed(path, **out)
+
+
+def load_params_npz(path: str, template_variables):
+    """Restore a :func:`save_params_npz` file onto the template's
+    structure and dtypes; shape/coverage mismatches are hard errors."""
+    data = np.load(path)
+    tflat = _flatten(template_variables)
+    updates = {}
+    for key in data.files:
+        p = tuple(key.split("/"))
+        arr = data[key]
+        if p in tflat:
+            arr = arr.astype(np.asarray(tflat[p]).dtype)
+        updates[p] = arr
+    return assign_checked(template_variables, updates)
+
+
+# ---------------------------------------------------------------------------
 # our own checkpoints (orbax)
 
 def save_params(path: str, variables) -> None:

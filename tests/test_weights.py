@@ -177,3 +177,46 @@ def test_orbax_roundtrip(template, tmp_path):
     fa, fb = W._flatten(template), W._flatten(restored)
     for k in fa:
         np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
+
+
+def _toy_tree(rng):
+    return {"params": {"stem": {"kernel": rng.normal(
+                size=(3, 3, 3, 8)).astype(np.float32)},
+                       "head": {"bias": rng.normal(size=(8,)).astype(
+                           np.float32)}},
+            "batch_stats": {"stem": {"count": np.arange(4)}}}
+
+
+def test_npz_roundtrip_and_f16_cast(rng, tmp_path):
+    """save_params_npz/load_params_npz: single-file fixture format;
+    f16 cast roundtrips through the template's dtypes with half-float
+    precision (the committed probe checkpoints use this)."""
+    template = _toy_tree(rng)
+    path = str(tmp_path / "ckpt.npz")
+    W.save_params_npz(path, template)
+    restored = W.load_params_npz(path, template)
+    fa, fb = W._flatten(template), W._flatten(restored)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
+
+    W.save_params_npz(path, template, cast=np.float16)
+    restored16 = W.load_params_npz(path, template)
+    for k, v in W._flatten(restored16).items():
+        a = np.asarray(fa[k])
+        assert np.asarray(v).dtype == a.dtype   # restored to template dtype
+        np.testing.assert_allclose(np.asarray(v), a, rtol=2e-3, atol=2e-3,
+                                   err_msg="/".join(k))
+
+
+def test_npz_load_rejects_wrong_tree(rng, tmp_path):
+    template = _toy_tree(rng)
+    path = str(tmp_path / "ckpt.npz")
+    W.save_params_npz(path, template)
+    import copy
+
+    wrong = W._unflatten({k + ("extra",) if i == 0 else k: v
+                          for i, (k, v) in
+                          enumerate(W._flatten(copy.deepcopy(template)).items())})
+    with pytest.raises(ValueError, match="mismatch"):
+        W.load_params_npz(path, wrong)

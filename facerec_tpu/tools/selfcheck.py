@@ -221,6 +221,11 @@ def main(argv=None):
     parser.add_argument("--identities", type=int, default=4)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--film-frames", type=int, default=240)
+    parser.add_argument("--film-width", type=int, default=768,
+                        help="synthetic film display width; the pinned "
+                             "CI probe budget uses 384x288 (less "
+                             "deploy downscale, faster CPU replay)")
+    parser.add_argument("--film-height", type=int, default=576)
     parser.add_argument("--face-threshold", type=float, default=0.9)
     parser.add_argument("--detector-size", type=int, default=512)
     parser.add_argument("--backbone-width", type=int, default=96,
@@ -265,7 +270,7 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     size = (args.detector_size, args.detector_size)
-    film_hw = (576, 768)
+    film_hw = (args.film_height, args.film_width)
     film_faces = (28.0, 44.0)   # make_clip's face-width range
     k = args.identities
 
@@ -292,7 +297,8 @@ def main(argv=None):
 
     print("=== running pipeline with trained models ===", flush=True)
     clip = make_clip(os.path.join(args.out, "777-Selfcheck_Film.mp4"),
-                     n_frames=args.film_frames, width=768, height=576,
+                     n_frames=args.film_frames, width=args.film_width,
+                     height=args.film_height,
                      cuts=(args.film_frames // 3,
                            2 * args.film_frames // 3), n_faces=2,
                      identities=k)

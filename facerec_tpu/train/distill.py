@@ -166,7 +166,8 @@ def distill(film: str, truth_path: str, out: str, steps: int,
             long_side: int = 512, learning_rate: float = 1e-3,
             init_weights: Optional[str] = None, seed: int = 0,
             log_every: int = 50,
-            model_kwargs: Optional[dict] = None) -> list:
+            model_kwargs: Optional[dict] = None,
+            recalibrate: bool = True) -> list:
     """Train the detector toward the reference's detections; saves an
     orbax checkpoint consumable by ``--detector-weights``.  Returns the
     loss history."""
@@ -213,6 +214,31 @@ def distill(film: str, truth_path: str, out: str, steps: int,
         losses.append(float(loss))
         if step % log_every == 0:
             print(f"step {step}: loss {losses[-1]:.4f}", flush=True)
+    if recalibrate:
+        # Post-training BN running-stat refresh on film batches through
+        # the same letterbox — short distill budgets otherwise deploy
+        # with stats still ~0.995^steps stale (train/recalibrate.py).
+        import jax
+
+        from facerec_tpu.train.recalibrate import recalibrate_batch_stats
+
+        @jax.jit
+        def _apply_batch(v, x):
+            xin = (x.astype(jnp.float32) - 127.5) / 128.0
+            _, mut = trainer.model.apply(v, xin, train=True,
+                                         mutable=["batch_stats"])
+            return mut["batch_stats"]
+
+        def _cal_batches(n=32):
+            it = ds.batches(batch_size, np.random.default_rng(seed + 99))
+            for i, (ims, *_rest) in enumerate(it):
+                if i >= n:
+                    break
+                yield jnp.asarray(ims)
+
+        print("recalibrating BN statistics on film batches", flush=True)
+        variables = recalibrate_batch_stats(variables, _cal_batches(),
+                                            _apply_batch)
     save_params(os.path.abspath(out), variables)
     # self-describing checkpoint: record the model hyperparameters so
     # load_detector_harness reconstructs non-default architectures
@@ -247,11 +273,16 @@ def main(argv=None):
                         help="detector backbone width (the checkpoint "
                              "records it; load_detector_harness infers "
                              "it back)")
+    parser.add_argument("--no-recalibrate", dest="recalibrate",
+                        action="store_false",
+                        help="skip the post-training BN running-stat "
+                             "recalibration on film batches")
     args = parser.parse_args(argv)
     distill(args.film, args.truth, args.out, args.steps, args.batch,
             long_side=args.long_side, learning_rate=args.lr,
             init_weights=args.init_weights,
-            model_kwargs={"backbone_width": args.backbone_width})
+            model_kwargs={"backbone_width": args.backbone_width},
+            recalibrate=args.recalibrate)
 
 
 if __name__ == "__main__":

@@ -1,7 +1,8 @@
 """Regenerate the committed CI probe checkpoint fixture.
 
 1. Train the probe on-chip at the pinned budget (the recorded command —
-   ~15 min on one v5e; docs/DESIGN.md "Pinned CI quality budget"):
+   1062 s wall on one v5e, mostly tunnel compile; docs/DESIGN.md
+   "Pinned CI quality budget"):
 
      python -m facerec_tpu.tools.selfcheck --out /tmp/sc_probe \
          --film-width 384 --film-height 288 --detector-size 384 \

@@ -321,7 +321,11 @@ def save_params(path: str, variables) -> None:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, variables)
+    # force=True: overwrite an existing checkpoint at the destination.
+    # Re-running a tool with the same --out (selfcheck, trainers) must
+    # replace the previous run's weights, not die on orbax's
+    # existing-destination guard.
+    ckptr.save(path, variables, force=True)
     ckptr.wait_until_finished()
 
 

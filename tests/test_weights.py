@@ -179,6 +179,22 @@ def test_orbax_roundtrip(template, tmp_path):
         np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
 
 
+def test_orbax_save_overwrites_existing(template, tmp_path):
+    """Re-running a tool with the same --out must replace the previous
+    checkpoint (orbax's default refuses an existing destination — a
+    second `selfcheck --out X` run used to die at its save step)."""
+    path = str(tmp_path / "ckpt")
+    W.save_params(path, template)
+    changed = W._unflatten({k: np.asarray(v) + 1.0 if k[0] == "params"
+                            else np.asarray(v)
+                            for k, v in W._flatten(template).items()})
+    W.save_params(path, changed)   # must not raise
+    restored = W.load_params(path, template)
+    fa, fb = W._flatten(changed), W._flatten(restored)
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
+
+
 def _toy_tree(rng):
     return {"params": {"stem": {"kernel": rng.normal(
                 size=(3, 3, 3, 8)).astype(np.float32)},

@@ -202,10 +202,11 @@ def main(argv=None) -> int:
                         help="parallel native decode workers for "
                              "extract")
     parser.add_argument("--wire-format", type=str, default=None,
-                        choices=["rgb", "yuv420-delta"],
+                        choices=["rgb", "rgb-delta", "yuv420-delta"],
                         help="extract host→device pixel format (see "
-                             "extract --help; yuv420-delta for "
-                             "transfer-bound hosts)")
+                             "extract --help; rgb-delta is byte-exact "
+                             "and wire-compressor-friendly, "
+                             "yuv420-delta for transfer-bound hosts)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 

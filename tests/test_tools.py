@@ -133,6 +133,23 @@ def test_orchestrator_aborts_on_failure(tmp_path):
     assert report["pipeline"]["counters"]["a_seconds"] >= 0
 
 
+def test_orchestrator_accepts_every_extract_wire_format(capsys):
+    """The orchestrator passes --wire-format through to extract, so its
+    argparse choices must cover everything extract accepts (rgb-delta —
+    the byte-exact parity wire — was missing from the pass-through)."""
+    import pytest as _pytest
+
+    from facerec_tpu.pipeline.orchestrate import main
+
+    for wire in ("rgb", "rgb-delta", "yuv420-delta"):
+        with _pytest.raises(SystemExit) as exc:
+            main(["--wire-format", wire])   # no --filmfile on purpose
+        assert exc.value.code == 2
+        err = capsys.readouterr().err
+        assert "invalid choice" not in err, (wire, err)
+        assert "--filmfile" in err
+
+
 def test_prepare_actors_offline(tmp_path, rng):
     """Actor DB builder with injected SPARQL/fetch and a stub embedder:
     zip caching, resume, same-film preference."""

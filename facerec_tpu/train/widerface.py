@@ -138,7 +138,7 @@ class WiderFaceDataset:
 def train(images_root: str, ann_file: str, out: str, steps: int,
           batch_size: int = 16, input_size: Tuple[int, int] = (640, 640),
           learning_rate: float = 1e-3, seed: int = 0,
-          log_every: int = 50) -> list:
+          log_every: int = 50, recalibrate: bool = True) -> list:
     """Train the detector on WIDER-FACE data; saves an orbax checkpoint
     consumable by ``--detector-weights``.  Returns the loss history."""
     import jax.numpy as jnp
@@ -170,6 +170,34 @@ def train(images_root: str, ann_file: str, out: str, steps: int,
         losses.append(float(loss))
         if step % log_every == 0:
             print(f"step {step}: loss {losses[-1]:.4f}", flush=True)
+    if recalibrate:
+        # Post-training BN running-stat refresh on dataset batches —
+        # negligible at the 20k-step default (0.995^20000 ≈ 0) but a
+        # short-budget run otherwise deploys with running statistics
+        # still ~0.995^steps anchored to their initialization
+        # (train/recalibrate.py, docs/DESIGN.md "BN recalibration").
+        import jax
+
+        from facerec_tpu.train.recalibrate import recalibrate_batch_stats
+
+        @jax.jit
+        def _apply_batch(v, x):
+            xin = (x.astype(jnp.float32) - 127.5) / 128.0
+            _, mut = trainer.model.apply(v, xin, train=True,
+                                         mutable=["batch_stats"])
+            return mut["batch_stats"]
+
+        def _cal_batches(n=32):
+            it = ds.batches(batch_size, np.random.default_rng(seed + 99))
+            for i, (ims, *_rest) in enumerate(it):
+                if i >= n:
+                    break
+                yield jnp.asarray(ims)
+
+        print("recalibrating BN statistics on dataset batches",
+              flush=True)
+        variables = recalibrate_batch_stats(variables, _cal_batches(),
+                                            _apply_batch)
     save_params(os.path.abspath(out), variables)
     print(f"saved detector checkpoint to {out}")
     return losses
@@ -190,9 +218,14 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--size", type=int, default=640)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--no-recalibrate", dest="recalibrate",
+                        action="store_false",
+                        help="skip the post-training BN statistics "
+                             "recalibration on dataset batches")
     args = parser.parse_args(argv)
     train(args.root, args.ann, args.out, args.steps, args.batch,
-          (args.size, args.size), args.lr)
+          (args.size, args.size), args.lr,
+          recalibrate=args.recalibrate)
 
 
 if __name__ == "__main__":

@@ -90,6 +90,23 @@ def test_wider_train_step_runs(wider_dir, tmp_path):
     det = h(jnp.zeros((1, 64, 64, 3), jnp.uint8))
     assert np.asarray(det.boxes).shape == (1, 4, 4)
 
+    # default-on BN recalibration replaced the 2-step-stale running
+    # statistics (0.995^2 of them would still be the init values)
+    train(root, ann, str(tmp_path / "ckpt_raw"), steps=2,
+          batch_size=2, input_size=(64, 64), seed=0, recalibrate=False)
+    from facerec_tpu.models.weights import _flatten, load_params
+
+    cal = _flatten(load_params(str(tmp_path / "ckpt")))
+    raw = _flatten(load_params(str(tmp_path / "ckpt_raw")))
+    stat_keys = [k for k in cal if k[0] == "batch_stats"]
+    assert stat_keys
+    assert any(not np.allclose(np.asarray(cal[k]), np.asarray(raw[k]))
+               for k in stat_keys)
+    # params themselves are identical — recalibration touches only stats
+    for k in (k for k in cal if k[0] == "params"):
+        np.testing.assert_array_equal(np.asarray(cal[k]),
+                                      np.asarray(raw[k]))
+
 
 def test_evaluate_detections_perfect_and_degraded():
     truth = {0: [[10, 10, 40, 45], [60, 60, 75, 76]],   # 30px, 15px

@@ -72,19 +72,47 @@ def resolve_facenet_params(weights_dir: str, name: str, template) -> dict:
 
 
 def load_facenet_embedders(weights_dir: str, names=FACENET_MODELS,
-                           dtype: Any = None) -> Dict[str, "object"]:
-    """name → FaceNetEmbedder with imported weights, for every name."""
+                           dtype: Any = None,
+                           missing_ok: bool = True) -> Dict[str, "object"]:
+    """name → FaceNetEmbedder with imported weights, for every name.
+
+    A PARTIAL weights dir (e.g. one checkpoint trained with
+    ``train.facenet_train``) is usable: missing names fall back to
+    random init with the loud :func:`warn_random_init` warning (which
+    ``FACEREC_REQUIRE_WEIGHTS=1`` turns into an error) — downstream
+    cluster/classify consume only ``EMB_NAME`` anyway
+    (/root/reference/facerec/cluster.py:17, classify_knn.py:13).  A dir
+    where NO name resolves still raises: that is a wrong path, not a
+    partial install.  ``missing_ok=False`` restores all-or-nothing.
+    """
     import jax.numpy as jnp
 
     from facerec_tpu.models import FaceNetEmbedder
 
     d = dtype or jnp.float32
     out = {}
-    for name in names:
+    n_loaded = 0
+    for i, name in enumerate(names):
         template = FaceNetEmbedder(name, FACENET_DIMS[name]).variables
-        params = resolve_facenet_params(weights_dir, name, template)
+        try:
+            params = resolve_facenet_params(weights_dir, name, template)
+        except WeightsNotFoundError:
+            if not missing_ok:
+                raise
+            warn_random_init(
+                f"FaceNet checkpoint '{name}'",
+                f"a {name}.pt/.h5 or {name}/ orbax checkpoint in "
+                f"{weights_dir!r}")
+            out[name] = FaceNetEmbedder(name, FACENET_DIMS[name],
+                                        dtype=d, rng_seed=i)
+            continue
+        n_loaded += 1
         out[name] = FaceNetEmbedder(name, FACENET_DIMS[name], dtype=d,
                                     params=params)
+    if names and n_loaded == 0:
+        raise WeightsNotFoundError(
+            f"No FaceNet checkpoint of {list(names)} found under "
+            f"{weights_dir!r} — wrong --facenet-weights path?")
     return out
 
 

@@ -116,3 +116,187 @@ class FaceNetTrainer:
     def step(self, variables, opt_state, crops, labels
              ) -> Tuple[dict, optax.OptState, jnp.ndarray]:
         return self._step(variables, opt_state, crops, labels)
+
+
+# ---------------------------------------------------------------------------
+# standalone CLI: train/fine-tune one FaceNet checkpoint on identity-
+# labeled face crops (root/<identity>/*.jpg), saving an orbax checkpoint
+# at <out>/<name>/ — the exact layout `--facenet-weights <out>` resolves
+# (models/load.py).  The reference has no embedder training at all; its
+# checkpoints come pre-baked from keras_facenet
+# (/root/reference/facerec/extract.py:24-25,392).
+
+class IdentityCropDataset:
+    """Face crops grouped by identity from a directory tree.
+
+    Layout: ``root/<identity>/*.jpg|jpeg|png``, any image size (resized
+    to 160×160 on load — the reference resizes crops the same way via
+    keras_facenet's cropBox, /root/reference/facerec/extract.py:160-164).
+    """
+
+    EXTS = (".jpg", ".jpeg", ".png")
+
+    def __init__(self, root: str, crop_size: int = 160):
+        import os
+
+        import cv2
+        import numpy as np
+
+        self.crops = {}          # identity name -> (n, 160, 160, 3) u8
+        for ident in sorted(os.listdir(root)):
+            d = os.path.join(root, ident)
+            if not os.path.isdir(d):
+                continue
+            imgs = []
+            for fn in sorted(os.listdir(d)):
+                if not fn.lower().endswith(self.EXTS):
+                    continue
+                bgr = cv2.imread(os.path.join(d, fn))
+                if bgr is None:
+                    continue
+                rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+                imgs.append(cv2.resize(rgb, (crop_size, crop_size)))
+            if imgs:
+                self.crops[ident] = np.stack(imgs)
+        self.idents = sorted(self.crops)
+
+    def __len__(self) -> int:
+        return len(self.idents)
+
+    def batches(self, ids_per_batch: int, crops_per_id: int, rng):
+        """Endless PK-sampled batches: P identities × K crops each
+        (identities with fewer than K crops sample with replacement)."""
+        import numpy as np
+
+        p = min(ids_per_batch, len(self.idents))
+        while True:
+            picked = rng.choice(len(self.idents), size=p, replace=False)
+            ims, labels = [], []
+            for lab in picked:
+                pool = self.crops[self.idents[int(lab)]]
+                idx = rng.choice(len(pool), size=crops_per_id,
+                                 replace=len(pool) < crops_per_id)
+                ims.append(pool[idx])
+                labels.extend([int(lab)] * crops_per_id)
+            yield (np.concatenate(ims),
+                   np.asarray(labels, dtype=np.int32))
+
+
+def train(root: str, out: str, steps: int, name: Optional[str] = None,
+          ids_per_batch: int = 4, crops_per_id: int = 4,
+          learning_rate: float = 3e-4, seed: int = 0,
+          init_weights: Optional[str] = None, log_every: int = 50,
+          recalibrate: bool = True) -> list:
+    """Train one named FaceNet checkpoint on identity crops; saves an
+    orbax checkpoint at ``<out>/<name>/`` consumable by
+    ``--facenet-weights <out>``.  Returns the loss history."""
+    import os
+
+    import numpy as np
+
+    from facerec_tpu.config import EMB_NAME, FACENET_DIMS
+    from facerec_tpu.models.weights import save_params
+
+    name = name or EMB_NAME
+    if name not in FACENET_DIMS:
+        raise ValueError(f"unknown checkpoint name {name!r}; "
+                         f"known: {sorted(FACENET_DIMS)}")
+    ds = IdentityCropDataset(root)
+    if len(ds) < 2:
+        raise RuntimeError(
+            f"need >=2 identity subdirectories with images under "
+            f"{root!r}, found {len(ds)}")
+    print(f"facenet_train: {len(ds)} identities, "
+          f"{sum(len(v) for v in ds.crops.values())} crops, "
+          f"checkpoint {name} (dim {FACENET_DIMS[name]})")
+
+    trainer = FaceNetTrainer(embedding_dim=FACENET_DIMS[name],
+                             learning_rate=learning_rate)
+    variables, opt_state = trainer.init(seed)
+    if init_weights is not None:
+        from facerec_tpu.models.load import resolve_facenet_params
+
+        variables = dict(resolve_facenet_params(init_weights, name,
+                                                variables))
+        opt_state = trainer.tx.init(variables["params"])
+    rng = np.random.default_rng(seed)
+    losses = []
+    for step, (ims, labels) in enumerate(
+            ds.batches(ids_per_batch, crops_per_id, rng)):
+        if step >= steps:
+            break
+        variables, opt_state, loss = trainer.step(
+            variables, opt_state, jnp.asarray(ims), jnp.asarray(labels))
+        losses.append(float(loss))
+        if step % log_every == 0:
+            print(f"step {step}: loss {losses[-1]:.4f}", flush=True)
+    if recalibrate:
+        # Same post-training BN refresh as every other trainer
+        # (train/recalibrate.py, docs/DESIGN.md "BN recalibration").
+        from facerec_tpu.train.recalibrate import recalibrate_batch_stats
+
+        @jax.jit
+        def _apply_batch(v, x):
+            _, mut = trainer.model.apply(v, prewhiten(x), train=True,
+                                         mutable=["batch_stats"])
+            return mut["batch_stats"]
+
+        def _cal_batches(n=32):
+            it = ds.batches(ids_per_batch, crops_per_id,
+                            np.random.default_rng(seed + 99))
+            for i, (ims, _labels) in enumerate(it):
+                if i >= n:
+                    break
+                yield jnp.asarray(ims)
+
+        print("recalibrating BN statistics on dataset batches",
+              flush=True)
+        variables = recalibrate_batch_stats(variables, _cal_batches(),
+                                            _apply_batch)
+    ckpt = os.path.abspath(os.path.join(out, name))
+    save_params(ckpt, variables)
+    print(f"saved FaceNet checkpoint to {ckpt}")
+    return losses
+
+
+def main(argv=None):
+    import argparse
+
+    from facerec_tpu.runtime import ensure_platform
+
+    ensure_platform()
+    from facerec_tpu.config import EMB_NAME
+
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--root", required=True,
+                        help="crop root: one subdirectory of face "
+                             "images per identity")
+    parser.add_argument("--out", default="./facenet_weights",
+                        help="weights dir; the checkpoint lands at "
+                             "<out>/<name>/ ready for --facenet-weights")
+    parser.add_argument("--name", default=EMB_NAME,
+                        help="which of the four checkpoint names to "
+                             "train")
+    parser.add_argument("--steps", type=int, default=2000)
+    parser.add_argument("--ids-per-batch", type=int, default=4)
+    parser.add_argument("--crops-per-id", type=int, default=4)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--init-weights", default=None,
+                        help="fine-tune: resolve the starting "
+                             "checkpoint from this weights dir "
+                             "(.pt/.h5/orbax, models/load.py)")
+    parser.add_argument("--no-recalibrate", dest="recalibrate",
+                        action="store_false",
+                        help="skip the post-training BN statistics "
+                             "recalibration on dataset batches")
+    args = parser.parse_args(argv)
+    train(args.root, args.out, args.steps, name=args.name,
+          ids_per_batch=args.ids_per_batch,
+          crops_per_id=args.crops_per_id, learning_rate=args.lr,
+          seed=0, init_weights=args.init_weights,
+          recalibrate=args.recalibrate)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,42 @@ def test_embedder_bank_from_weights(torch_weights_dir):
 
 
 @pytest.mark.slow
+def test_partial_weights_dir_is_usable(torch_weights_dir, tmp_path,
+                                       monkeypatch, capsys):
+    """A weights dir holding only ONE trained checkpoint (the
+    train.facenet_train output shape) deploys: missing names fall back
+    to loud random init, an empty dir still raises, and
+    FACEREC_REQUIRE_WEIGHTS escalates the fallback to an error."""
+    import shutil
+
+    d, _templates = torch_weights_dir
+    name = FACENET_MODELS[0]
+    partial = tmp_path / "partial"
+    partial.mkdir()
+    shutil.copy(os.path.join(d, f"{name}.pt"), partial / f"{name}.pt")
+
+    monkeypatch.delenv("FACEREC_ALLOW_RANDOM", raising=False)
+    monkeypatch.setattr(L, "_WARNED", set())
+    bank = L.load_facenet_embedders(str(partial))
+    assert set(bank) == set(FACENET_MODELS)
+    warned = capsys.readouterr().out
+    for missing in FACENET_MODELS[1:]:
+        assert missing in warned
+    crops = jnp.zeros((1, 160, 160, 3), jnp.uint8)
+    assert all(np.isfinite(np.asarray(e(crops))).all()
+               for e in bank.values())
+
+    with pytest.raises(L.WeightsNotFoundError, match="wrong"):
+        L.load_facenet_embedders(str(tmp_path / "nothing_here"))
+    with pytest.raises(L.WeightsNotFoundError):
+        L.load_facenet_embedders(str(partial), missing_ok=False)
+    monkeypatch.setenv("FACEREC_REQUIRE_WEIGHTS", "1")
+    monkeypatch.setattr(L, "_WARNED", set())
+    with pytest.raises(RuntimeError, match="RANDOM"):
+        L.load_facenet_embedders(str(partial))
+
+
+@pytest.mark.slow
 def test_detector_orbax_roundtrip(tmp_path, rng):
     """Save a harness's variables, load via load_detector_harness,
     detections are identical."""

@@ -503,10 +503,36 @@ if __name__ == "__main__":
     args = parser.parse_args()
 
     # The tunneled backend occasionally fails at init right after
-    # another client exits; one bounded retry (sleeps capped well
-    # under the bench budget) so a bad handshake doesn't void the run.
+    # another client exits — and sometimes HANGS outright (observed:
+    # jax.devices() blocking >10 min while the relay accepts TCP but
+    # the remote stays silent).  The main watchdog only arms after
+    # init, so an unguarded hang here would burn the whole budget and
+    # leave the driver an EMPTY output tail (the round-3 failure
+    # mode).  A SIGALRM cannot reliably interrupt a blocking C-level
+    # RPC wait, so each attempt probes in a KILLABLE subprocess first;
+    # only a successful probe is followed by in-process init.
+    import subprocess
+
+    INIT_ATTEMPT_BUDGET = min(420.0, BUDGET * 0.35)
+    PROBE = ("from facerec_tpu.runtime import ensure_platform; "
+             "ensure_platform(); import jax; "
+             "print([str(d) for d in jax.devices()])")
     for attempt in range(2):
+        t0 = time.perf_counter()
         try:
+            r = subprocess.run([sys.executable, "-c", PROBE],
+                               timeout=INIT_ATTEMPT_BUDGET,
+                               capture_output=True, text=True)
+            ok = r.returncode == 0
+            detail = (r.stdout.strip().splitlines() or ["<no output>"]
+                      )[-1] if ok else (r.stderr.strip().splitlines()
+                                        or ["<no stderr>"])[-1]
+        except subprocess.TimeoutExpired:
+            ok, detail = False, (f"HUNG past {INIT_ATTEMPT_BUDGET:.0f}s "
+                                 "(probe killed)")
+        if ok:
+            log(f"backend probe ok in "
+                f"{time.perf_counter() - t0:.0f}s: {detail}")
             from facerec_tpu.runtime import ensure_platform
 
             ensure_platform()
@@ -514,11 +540,13 @@ if __name__ == "__main__":
 
             jax.devices()
             break
-        except RuntimeError as e:
-            log(f"backend init failed (attempt {attempt + 1}/2): {e}")
-            if attempt == 1:
-                raise
-            time.sleep(20)
+        log(f"backend init attempt {attempt + 1}/2: {detail}")
+        if attempt == 1:
+            log("giving up: TPU backend unreachable — no metrics this "
+                "run (device tunnel outage, not a bench regression; "
+                "see the init attempts above)")
+            sys.exit(3)
+        time.sleep(20)
 
     if args.e2e:
         run_e2e_sweep(args)
